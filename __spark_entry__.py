@@ -1,38 +1,49 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (full CDC replay through the engine)
+at sf0.001. ``queries()`` exposes every implemented operator from
+SURVEY.md §2 as (spark, sf_dir) -> DataFrame; ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for the value-hash correctness gate.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: replay the sf0.001 change log through the full CDC engine
+    (LWW reduce → tombstoned MERGE → snapshot read) and return final state."""
+    from translator_ingests_spark.operators.cdc_queries import cdc_replay_final_state
+
+    return cdc_replay_final_state(spark, "/root/testdata/sf0.001")
+
+
+def _registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
+    from translator_ingests_spark.operators import cdc_queries, relational
+
+    reg: dict[str, tuple] = {}
+    for mod in (relational, cdc_queries):
+        reg.update(mod.QUERIES)
+    try:
+        from translator_ingests_spark.operators import dedup, similarity, text
+
+        for mod in (dedup, similarity, text):
+            reg.update(mod.QUERIES)
+    except ImportError:
+        pass
+    return reg
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in _registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_fn, sql) in _registry().items() if sql is not None}

@@ -1,0 +1,98 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+The headline metric is the CDC apply throughput (change-events/sec applied,
+sustained MERGE throughput — BASELINE.json metric); per-query wall times for
+the operator suite ride along in "queries".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "broadcast_dim_join",
+    "topk_per_group",
+    "latest_event_per_user",
+    "groupby_multi_agg",
+    "distinct_dedup",
+    "cdc_lww_reduce_only",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    from translator_ingests_spark.session import get_spark
+
+    spark = get_spark("bench", cores=cpus, shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+
+    # warm the JVM/codegen once with a trivial action
+    spark.range(1000).count()
+
+    for name in HEADLINE:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        t0 = time.monotonic()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.monotonic() - t0, 3)
+        _ = n
+
+    # headline: CDC apply throughput (events/sec through the full engine)
+    from translator_ingests_spark.cdc.apply import CdcEngine
+    from translator_ingests_spark.operators.cdc_queries import events_as_cdc_log
+
+    root = tempfile.mkdtemp(prefix="bench_cdc_")
+    try:
+        log = events_as_cdc_log(spark, sf_dir).persist()
+        n_events = log.count()
+        eng = CdcEngine(spark, root, num_buckets=32, use_arrow_normalize=False)
+        t0 = time.monotonic()
+        eng.apply_log(log, n_batches=8, total_events=n_events)
+        elapsed = time.monotonic() - t0
+        log.unpersist()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    timings["cdc_replay_full_engine"] = round(elapsed, 3)
+    events_per_sec = round(n_events / elapsed, 1)
+
+    print(
+        json.dumps(
+            {
+                "metric": "cdc_apply_events_per_sec",
+                "value": events_per_sec,
+                "unit": "events/sec",
+                "elapsed_sec": round(elapsed, 3),
+                "n_events": n_events,
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,410 @@
+"""The CDC apply loop: ordered change-event log → lake table, exactly-once.
+
+Micro-batch driver loop (``Trigger.AvailableNow``-style batch-over-log):
+per batch it (1) validates events, (2) splits at schema-change events and
+applies those to the table schema *before* the dependent data sub-batch,
+(3) reduces each key to its max-LSN survivor (within-batch LWW, hot keys
+salted), (4) derives the vectorized content plane (normalization +
+content_sha256), (5) executes one idempotent bucket-pruned MERGE, and
+(6) records a checkpoint manifest (source offsets, applied LSN range,
+code hash, per-partition lineage, throughput metrics).
+
+Exactly-once: the lake commit is atomic and carries the batch id; replaying
+any already-committed batch is a metadata no-op (lake guard) and the
+checkpoint manifest is rewritten idempotently. Crash anywhere → rerun the
+loop from the top; committed units skip, the first uncommitted unit resumes.
+Reference analogs: stage-skip checks (pipeline.py:175-198), atomic publish
+(release.py:20-48), code-hash invalidation (pipeline.py:124-141), metric
+flush (semmeddb.py:309-338) — all in /root/reference/src/translator_ingest/.
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from translator_ingests_spark.cdc.reduce import detect_hot_keys, lww_reduce
+from translator_ingests_spark.functions.content import content_digest, normalize_content
+from translator_ingests_spark.lake.table import LakeSchema, LakeTable, _SPARK_TYPES
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("lsn", T.LongType(), False),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("repo", T.StringType(), True),
+        T.StructField("path", T.StringType(), True),
+        T.StructField("commit", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("content", T.StringType(), True),
+        T.StructField(
+            "schema_change",
+            T.StructType(
+                [
+                    T.StructField("kind", T.StringType(), True),
+                    T.StructField("column", T.StringType(), True),
+                    T.StructField("new_name", T.StringType(), True),
+                    T.StructField("new_type", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+        T.StructField("source_partition", T.IntegerType(), True),
+        T.StructField("source_offset", T.LongType(), True),
+        # values for columns added by schema evolution (keyed by current name)
+        T.StructField("extras", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+# initial lake schema (FIXTURES.md §A1): input columns + engine-maintained
+# content_sha256 (per-row invariant) and last_lsn (LWW watermark per key)
+BASE_FIELDS: list[tuple[str, str]] = [
+    ("repo", "string"),
+    ("path", "string"),
+    ("commit", "string"),
+    ("lang", "string"),
+    ("content", "string"),
+    ("content_sha256", "string"),
+    ("last_lsn", "long"),
+]
+
+_DATA_OPS = ("insert", "update", "delete")
+
+
+def compute_code_hash() -> str:
+    """sha256 over the engine's own source files, truncated to 8 hex chars —
+    code changes auto-invalidate checkpoints (reference: pipeline.py:124-141)."""
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    digest = hashlib.sha256()
+    for path in sorted(glob.glob(os.path.join(pkg_root, "**", "*.py"), recursive=True)):
+        with open(path, "rb") as fh:
+            digest.update(hashlib.sha256(fh.read()).digest())
+    return digest.hexdigest()[:8]
+
+
+class CdcEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        num_buckets: int = 16,
+        use_arrow_normalize: bool = True,
+        hot_key_threshold: int = 50_000,
+        hot_sample_fraction: float = 0.05,
+        salt_buckets: int = 32,
+    ):
+        self.spark = spark
+        self.root = root
+        self.num_buckets = num_buckets
+        self.use_arrow_normalize = use_arrow_normalize
+        self.hot_key_threshold = hot_key_threshold
+        self.hot_sample_fraction = hot_sample_fraction
+        self.salt_buckets = salt_buckets
+        self.code_hash = compute_code_hash()
+        self.table = LakeTable(spark, os.path.join(root, "lake"))
+        self._ckpt_dir = os.path.join(root, "ckpt")
+
+    # -- lifecycle -----------------------------------------------------------
+    def init_table(self) -> None:
+        if not self.table.exists():
+            LakeTable.create(
+                self.spark,
+                self.table.root,
+                LakeSchema.from_names(BASE_FIELDS),
+                key_cols=["repo", "path"],
+                lsn_col="last_lsn",
+                num_buckets=self.num_buckets,
+            )
+        os.makedirs(self._ckpt_dir, exist_ok=True)
+
+    def final_state(self) -> DataFrame:
+        return self.table.read()
+
+    # -- the loop -------------------------------------------------------------
+    def apply_log(
+        self,
+        events: DataFrame,
+        events_per_batch: int | None = None,
+        n_batches: int | None = None,
+        scatter_delivery: bool = False,
+        max_units: int | None = None,
+        total_events: int | None = None,
+    ) -> list[dict]:
+        """Apply the full event log in micro-batches. Returns the list of
+        checkpoint-manifest dicts written (one per committed data sub-batch).
+
+        Batch assignment is a deterministic function of ``lsn`` so replay
+        after a crash re-derives identical batches:
+        - default: ``floor(lsn / events_per_batch)`` (in-order delivery);
+        - ``scatter_delivery=True``: ``pmod(xxhash64(lsn), n_batches)`` —
+          events land in arbitrary batches (out-of-order + interleaved), the
+          hardest delivery order the LWW/merge guard must absorb.
+
+        ``max_units`` stops the loop after N commits — the crash-injection
+        hook used by the resume tests.
+        """
+        self.init_table()
+        total = total_events if total_events is not None else events.count()
+        if n_batches is None:
+            assert events_per_batch, "need events_per_batch or n_batches"
+            n_batches = max(1, -(-total // events_per_batch))
+        if scatter_delivery:
+            batch_idx = F.pmod(F.xxhash64(F.lit("batch"), F.col("lsn")), F.lit(n_batches))
+        else:
+            per = events_per_batch or max(1, -(-total // n_batches))
+            batch_idx = F.floor(F.col("lsn") / F.lit(per))
+
+        events = events.withColumn("__batch", batch_idx.cast("long"))
+        # distinct batch indices actually present (sparse LSN spaces skip
+        # empty batches); tiny driver-side list
+        present = sorted(
+            r["__batch"] for r in events.select("__batch").distinct().collect()
+        )
+
+        manifests: list[dict] = []
+        unit_id = 0
+        consumed = 0
+        for b in present:
+            batch = events.filter(F.col("__batch") == b).drop("__batch")
+            batch = batch.persist()
+            try:
+                # schema events are rare; collecting them is driver-plane work
+                schema_rows = (
+                    batch.filter(F.col("op") == "schema_change")
+                    .select("lsn", "schema_change")
+                    .collect()
+                )
+                schema_rows.sort(key=lambda r: r["lsn"])
+                data = batch.filter(F.col("op").isin(*_DATA_OPS))
+
+                # split data at each schema-change LSN: sub-batch below the
+                # change commits first, then the schema evolves, then the rest
+                bounds = [r["lsn"] for r in schema_rows]
+                lows = [None] + bounds
+                highs = bounds + [None]
+                for i, (lo, hi) in enumerate(zip(lows, highs)):
+                    sub = data
+                    if lo is not None:
+                        sub = sub.filter(F.col("lsn") > lo)
+                    if hi is not None:
+                        sub = sub.filter(F.col("lsn") < hi)
+                    m = self._apply_data_unit(sub, unit_id, lag_events=total - consumed)
+                    if m is not None:
+                        manifests.append(m)
+                        consumed = min(total, consumed + m["metrics"]["events_in"])
+                    unit_id += 1
+                    if max_units is not None and unit_id >= max_units:
+                        return manifests
+                    if i < len(schema_rows):
+                        sc = schema_rows[i]["schema_change"]
+                        self.table.update_schema(
+                            sc["kind"], sc["column"], sc["new_name"], sc["new_type"],
+                            at_lsn=schema_rows[i]["lsn"],
+                        )
+                        consumed = min(total, consumed + 1)
+            finally:
+                batch.unpersist()
+        return manifests
+
+    # -- one committed unit ----------------------------------------------------
+    def _apply_data_unit(self, data: DataFrame, unit_id: int, lag_events: int) -> dict | None:
+        snap = self.table.current()
+        if snap.last_batch_id >= unit_id:
+            # already committed by a previous (crashed) run — exactly-once skip
+            return self._read_ckpt(unit_id)
+
+        t0 = time.monotonic()
+        data = data.persist()
+        try:
+            valid = data.filter(
+                F.col("repo").isNotNull() & F.col("path").isNotNull() & F.col("lsn").isNotNull()
+            )
+            stats = data.select(
+                F.count(F.lit(1)).alias("events_in"),
+                F.count(
+                    F.when(
+                        F.col("repo").isNotNull()
+                        & F.col("path").isNotNull()
+                        & F.col("lsn").isNotNull(),
+                        1,
+                    )
+                ).alias("valid"),
+                F.min("lsn").alias("lsn_min"),
+                F.max("lsn").alias("lsn_max"),
+            ).collect()[0]
+            if stats["events_in"] == 0:
+                return None
+
+            # lineage: per origin partition, offset/LSN ranges + row counts
+            lineage_rows = (
+                valid.groupBy("source_partition")
+                .agg(
+                    F.min("source_offset").alias("offset_min"),
+                    F.max("source_offset").alias("offset_max"),
+                    F.min("lsn").alias("lsn_min"),
+                    F.max("lsn").alias("lsn_max"),
+                    F.count(F.lit(1)).alias("rows"),
+                )
+                .collect()
+            )
+            lineage = sorted(
+                (
+                    {
+                        "partition": r["source_partition"],
+                        "offset_min": r["offset_min"],
+                        "offset_max": r["offset_max"],
+                        "lsn_min": r["lsn_min"],
+                        "lsn_max": r["lsn_max"],
+                        "rows": r["rows"],
+                    }
+                    for r in lineage_rows
+                ),
+                key=lambda d: (d["partition"] is None, d["partition"]),
+            )
+
+            hot = detect_hot_keys(
+                valid,
+                key_col="repo",
+                sample_fraction=self.hot_sample_fraction,
+                hot_threshold=self.hot_key_threshold,
+            )
+            reduced = lww_reduce(
+                valid,
+                keys=["repo", "path"],
+                hot_keys=hot,
+                salt_buckets=self.salt_buckets,
+            ).persist()
+            try:
+                return self._merge_reduced(reduced, snap, stats, lineage, unit_id, t0, lag_events, len(hot))
+            finally:
+                reduced.unpersist()
+        finally:
+            data.unpersist()
+
+    def _merge_reduced(
+        self, reduced, snap, stats, lineage, unit_id, t0, lag_events, n_hot
+    ) -> dict:
+        red_stats = reduced.select(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("op") == "delete", 1)).alias("n_del"),
+        ).collect()[0]
+
+        source = self._derive_columns(reduced, snap)
+        metrics = {
+            "events_in": int(stats["events_in"]),
+            "invalid_events": int(stats["events_in"] - stats["valid"]),
+            "rows_upserted": int(red_stats["n"] - red_stats["n_del"]),
+            "rows_deleted": int(red_stats["n_del"]),
+            "dups_dropped": int(stats["valid"] - red_stats["n"]),
+            "hot_keys_salted": n_hot,
+        }
+        new_snap = self.table.merge(
+            source,
+            batch_id=unit_id,
+            lineage=lineage,
+            metrics=metrics,
+            code_hash=self.code_hash,
+        )
+        elapsed = max(time.monotonic() - t0, 1e-9)
+        metrics["events_per_sec"] = round(stats["events_in"] / elapsed, 2)
+        metrics["lag_events"] = int(lag_events - stats["events_in"])
+        manifest = {
+            "batch_id": unit_id,
+            "applied_lsn_min": stats["lsn_min"],
+            "applied_lsn_max": stats["lsn_max"],
+            "source_offsets": {str(d["partition"]): d["offset_max"] for d in lineage},
+            "code_hash": self.code_hash,
+            "snapshot_id": new_snap.version,
+            "per_partition_lineage": lineage,
+            "metrics": metrics,
+        }
+        self._write_ckpt(unit_id, manifest)
+        return manifest
+
+    def _derive_columns(self, reduced: DataFrame, snap) -> DataFrame:
+        """Align the reduced batch to the current lake schema: normalized
+        content, JVM-side sha256 digest, and evolution-added columns filled
+        from the event's ``extras`` map (cast to the column's type)."""
+        is_data = F.col("op") != "delete"
+        norm = F.when(
+            is_data, normalize_content(F.col("content"), self.use_arrow_normalize)
+        )
+        cols = [
+            F.col("repo"),
+            F.col("path"),
+            F.col("commit"),
+            F.col("lang"),
+            norm.alias("content"),
+            F.when(is_data, content_digest(norm)).alias("content_sha256"),
+        ]
+        base_names = {"repo", "path", "commit", "lang", "content", "content_sha256", "last_lsn"}
+        has_extras = "extras" in reduced.columns
+        for fld in snap.schema.fields:
+            if fld.name in base_names:
+                continue
+            if has_extras:
+                # resolve by any historical name (renames), gated so events
+                # older than the column's add_column LSN never populate it —
+                # this keeps results identical under out-of-order delivery
+                lookups = [
+                    F.element_at(F.col("extras"), n) for n in snap.name_history(fld.field_id)
+                ]
+                val = F.coalesce(*lookups) if len(lookups) > 1 else lookups[0]
+                gate = F.col("lsn") > F.lit(snap.added_lsn.get(fld.field_id, -1))
+                cols.append(
+                    F.when(gate, val).cast(_SPARK_TYPES[fld.type]).alias(fld.name)
+                )
+            else:
+                cols.append(F.lit(None).cast(_SPARK_TYPES[fld.type]).alias(fld.name))
+        cols += [F.col("op"), F.col("lsn")]
+        if has_extras:
+            # pass the raw extras map through — the lake retains it so values
+            # for not-yet-added columns survive out-of-order schema evolution
+            cols.append(F.when(is_data, F.col("extras")).alias("extras"))
+        return reduced.select(*cols)
+
+    # -- checkpoint manifests ---------------------------------------------------
+    def _ckpt_path(self, unit_id: int) -> str:
+        return os.path.join(self._ckpt_dir, f"batch-{unit_id:08d}.json")
+
+    def _write_ckpt(self, unit_id: int, manifest: dict) -> None:
+        tmp = self._ckpt_path(unit_id) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, self._ckpt_path(unit_id))
+
+    def _read_ckpt(self, unit_id: int) -> dict | None:
+        p = self._ckpt_path(unit_id)
+        if os.path.exists(p):
+            with open(p) as fh:
+                return json.load(fh)
+        return None
+
+    def manifests(self) -> list[dict]:
+        out = []
+        for p in sorted(glob.glob(os.path.join(self._ckpt_dir, "batch-*.json"))):
+            with open(p) as fh:
+                out.append(json.load(fh))
+        return out
+
+    def manifests_df(self) -> DataFrame:
+        """Checkpoint manifests as a DataFrame (FIXTURES.md §A3 shape)."""
+        rows = [json.dumps(m) for m in self.manifests()]
+        schema = (
+            "batch_id bigint, applied_lsn_min bigint, applied_lsn_max bigint,"
+            "source_offsets map<string,bigint>, code_hash string, snapshot_id bigint,"
+            "per_partition_lineage array<struct<partition:int,offset_min:bigint,"
+            "offset_max:bigint,lsn_min:bigint,lsn_max:bigint,rows:bigint>>,"
+            "metrics struct<events_in:bigint,invalid_events:bigint,rows_upserted:bigint,"
+            "rows_deleted:bigint,dups_dropped:bigint,hot_keys_salted:int,"
+            "events_per_sec:double,lag_events:bigint>"
+        )
+        return self.spark.read.schema(schema).json(
+            self.spark.sparkContext.parallelize(rows or [], 1)
+        )

@@ -1,0 +1,70 @@
+"""Driver/test-side replay oracle: pure-Python LWW replay of an event log.
+
+Used by the test suite to verify that the distributed engine's final table
+equals a trivially-correct sequential replay under the per-row
+content-sha256 invariant (the reference's validation-stage shape:
+/root/reference/src/translator_ingest/util/validate_biolink_kgx.py:280-390).
+Never used in the Spark plan.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from translator_ingests_spark.functions.content import normalize_py
+
+
+def replay_oracle(events: list[dict]) -> dict[tuple[str, str], dict]:
+    """Sequential replay in LSN order. Returns key -> final visible row.
+
+    Events: dicts with lsn, op, repo, path, commit, lang, content, extras.
+    Deletes remove the key (tombstones are invisible in the final state).
+    Schema-change events affect column presence, not row survival.
+    """
+    added_cols: list[str] = []
+    renames: list[tuple[str, str]] = []  # in application order, supports chains
+    state: dict[tuple[str, str], dict] = {}
+    tomb: dict[tuple[str, str], int] = {}
+
+    for ev in sorted(events, key=lambda e: e["lsn"]):
+        op = ev["op"]
+        if op == "schema_change":
+            sc = ev["schema_change"]
+            if sc["kind"] == "add_column" and sc["column"] not in added_cols:
+                added_cols.append(sc["column"])
+            elif sc["kind"] == "rename_column":
+                renames.append((sc["column"], sc["new_name"]))
+                added_cols = [sc["new_name"] if c == sc["column"] else c for c in added_cols]
+            continue
+        key = (ev["repo"], ev["path"])
+        prior_lsn = state[key]["last_lsn"] if key in state else tomb.get(key, -1)
+        if ev["lsn"] <= prior_lsn:
+            continue  # stale or duplicate
+        if op == "delete":
+            state.pop(key, None)
+            tomb[key] = ev["lsn"]
+            continue
+        content = normalize_py(ev.get("content"))
+        row = {
+            "repo": ev["repo"],
+            "path": ev["path"],
+            "commit": ev.get("commit"),
+            "lang": ev.get("lang"),
+            "content": content,
+            "content_sha256": hashlib.sha256(content.encode()).hexdigest()
+            if content is not None
+            else None,
+            "last_lsn": ev["lsn"],
+        }
+        extras = ev.get("extras") or {}
+        for c in added_cols:
+            row[c] = extras.get(c)
+        state[key] = row
+        tomb.pop(key, None)
+
+    # renames are metadata-plane: remap historical keys in final rows
+    for old, new in renames:
+        for row in state.values():
+            if old in row:
+                row[new] = row.pop(old)
+    return state

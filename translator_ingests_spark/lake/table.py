@@ -1,0 +1,580 @@
+"""A from-scratch snapshot-based lake-table format on parquet.
+
+Plays the role Iceberg plays in the target design (no Iceberg runtime jar is
+available in this environment, so the primitives are implemented directly):
+
+- **Atomic snapshot commits**: every write produces an immutable snapshot
+  manifest ``snapshots/v{N}.json``; the table pointer ``_pointer.json`` is
+  swapped with ``os.replace`` (atomic on POSIX), so readers never observe a
+  half-written table. Reference analog: the atomic rename publish at
+  ``/root/reference/src/translator_ingest/release.py:20-48``.
+- **Bucketed copy-on-write MERGE**: data files are laid out by
+  ``bucket = pmod(xxhash64(key_cols), num_buckets)``; a MERGE reads and
+  rewrites *only* the buckets touched by the source batch (bucket pruning —
+  at 10^10 rows a small batch touches a small fraction of buckets, so the
+  rewrite cost is proportional to the batch's key spread, not table size).
+- **Field-id schema evolution**: the manifest stores every historical schema
+  version keyed by monotonically increasing field ids; data files record the
+  schema version they were written with, and reads align old files to the
+  current schema by field id (rename = metadata-only, add = null-fill,
+  widen = cast on read). Reference analog: the versioned artifact model at
+  ``/root/reference/src/translator_ingest/util/storage/local.py:92-109``.
+- **Exactly-once batch guard**: each merge commit records its ``batch_id``;
+  re-applying an already-committed batch is a metadata no-op. Reference
+  analog: idempotent stage-complete checks at
+  ``/root/reference/src/translator_ingest/pipeline.py:175-198``.
+
+Everything data-plane runs through Spark DataFrames; the manifest plane is
+driver-side JSON (tiny, O(buckets) not O(rows)).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# Schema model
+# ---------------------------------------------------------------------------
+
+_SPARK_TYPES: dict[str, T.DataType] = {
+    "string": T.StringType(),
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "boolean": T.BooleanType(),
+    "timestamp": T.TimestampType(),
+    "date": T.DateType(),
+}
+
+# implicit per-file column marking retained deletes (see _read_files)
+TOMBSTONE_COL = "__tombstone"
+# implicit per-file column carrying the source event's dynamic-column values:
+# if a data event that depends on a *later-arriving* schema change is merged
+# first, its new-column value survives here and materializes at read time once
+# the add_column lands — final state is independent of delivery order
+EXTRAS_COL = "__extras"
+
+# legal type widenings (lossless) for `widen_type` schema evolution
+_WIDENINGS: dict[str, set[str]] = {
+    "int": {"long", "double"},
+    "long": {"double"},
+    "float": {"double"},
+}
+
+
+@dataclass(frozen=True)
+class LakeField:
+    field_id: int
+    name: str
+    type: str  # one of _SPARK_TYPES keys
+
+    def spark_field(self) -> T.StructField:
+        return T.StructField(self.name, _SPARK_TYPES[self.type], True)
+
+
+@dataclass
+class LakeSchema:
+    fields: list[LakeField] = field(default_factory=list)
+
+    @classmethod
+    def from_names(cls, pairs: list[tuple[str, str]]) -> "LakeSchema":
+        return cls([LakeField(i + 1, n, t) for i, (n, t) in enumerate(pairs)])
+
+    def spark_schema(self) -> T.StructType:
+        return T.StructType([f.spark_field() for f in self.fields])
+
+    def names(self) -> list[str]:
+        return [f.name for f in self.fields]
+
+    def by_id(self) -> dict[int, LakeField]:
+        return {f.field_id: f for f in self.fields}
+
+    def max_id(self) -> int:
+        return max((f.field_id for f in self.fields), default=0)
+
+    def to_json(self) -> list[dict]:
+        return [{"id": f.field_id, "name": f.name, "type": f.type} for f in self.fields]
+
+    @classmethod
+    def from_json(cls, data: list[dict]) -> "LakeSchema":
+        return cls([LakeField(d["id"], d["name"], d["type"]) for d in data])
+
+
+# ---------------------------------------------------------------------------
+# Snapshot manifest
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Snapshot:
+    version: int
+    parent: int | None
+    batch_id: int | None          # CDC batch that produced this snapshot
+    last_batch_id: int            # high-water mark of applied batches
+    schema_version: int
+    schemas: dict[int, LakeSchema]
+    num_buckets: int
+    key_cols: list[str]
+    lsn_col: str
+    # bucket -> list of {"path": str, "schema_version": int}
+    buckets: dict[int, list[dict]]
+    lineage: dict | None = None
+    metrics: dict | None = None
+    code_hash: str | None = None
+    # field_id -> LSN of the schema-change event that added the column
+    # (engine uses this to gate column fill for events older than the add)
+    added_lsn: dict[int, int] = field(default_factory=dict)
+
+    def to_json(self) -> dict:
+        return {
+            "version": self.version,
+            "parent": self.parent,
+            "batch_id": self.batch_id,
+            "last_batch_id": self.last_batch_id,
+            "schema_version": self.schema_version,
+            "schemas": {str(k): v.to_json() for k, v in self.schemas.items()},
+            "num_buckets": self.num_buckets,
+            "key_cols": self.key_cols,
+            "lsn_col": self.lsn_col,
+            "buckets": {str(k): v for k, v in self.buckets.items()},
+            "lineage": self.lineage,
+            "metrics": self.metrics,
+            "code_hash": self.code_hash,
+            "added_lsn": {str(k): v for k, v in self.added_lsn.items()},
+        }
+
+    @classmethod
+    def from_json(cls, d: dict) -> "Snapshot":
+        return cls(
+            version=d["version"],
+            parent=d["parent"],
+            batch_id=d["batch_id"],
+            last_batch_id=d["last_batch_id"],
+            schema_version=d["schema_version"],
+            schemas={int(k): LakeSchema.from_json(v) for k, v in d["schemas"].items()},
+            num_buckets=d["num_buckets"],
+            key_cols=d["key_cols"],
+            lsn_col=d["lsn_col"],
+            buckets={int(k): v for k, v in d["buckets"].items()},
+            lineage=d.get("lineage"),
+            metrics=d.get("metrics"),
+            code_hash=d.get("code_hash"),
+            added_lsn={int(k): v for k, v in d.get("added_lsn", {}).items()},
+        )
+
+    def name_history(self, field_id: int) -> list[str]:
+        """All names a field has had, newest schema version first, deduped —
+        used to resolve event `extras` keyed by a historical column name."""
+        names: list[str] = []
+        for sv in sorted(self.schemas, reverse=True):
+            f = self.schemas[sv].by_id().get(field_id)
+            if f is not None and f.name not in names:
+                names.append(f.name)
+        return names
+
+    @property
+    def schema(self) -> LakeSchema:
+        return self.schemas[self.schema_version]
+
+
+def _atomic_write_json(path: str, payload: dict) -> None:
+    """Write JSON then atomically swap into place (POSIX rename atomicity)."""
+    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump(payload, fh, indent=None, separators=(",", ":"))
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, path)
+
+
+# ---------------------------------------------------------------------------
+# LakeTable
+# ---------------------------------------------------------------------------
+
+
+class LakeTable:
+    """A versioned, bucketed, upsertable table on local/posix parquet storage."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    # -- locations ---------------------------------------------------------
+    @property
+    def _pointer_path(self) -> str:
+        return os.path.join(self.root, "_pointer.json")
+
+    def _snapshot_path(self, version: int) -> str:
+        return os.path.join(self.root, "snapshots", f"v{version:08d}.json")
+
+    def _data_dir(self, version: int) -> str:
+        return os.path.join(self.root, "data", f"commit-{version:08d}")
+
+    # -- lifecycle ----------------------------------------------------------
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        schema: LakeSchema,
+        key_cols: list[str],
+        lsn_col: str = "last_lsn",
+        num_buckets: int = 16,
+    ) -> "LakeTable":
+        os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        table = cls(spark, root)
+        snap = Snapshot(
+            version=0,
+            parent=None,
+            batch_id=None,
+            last_batch_id=-1,
+            schema_version=1,
+            schemas={1: schema},
+            num_buckets=num_buckets,
+            key_cols=key_cols,
+            lsn_col=lsn_col,
+            buckets={},
+        )
+        table._commit_snapshot(snap)
+        return table
+
+    def exists(self) -> bool:
+        return os.path.exists(self._pointer_path)
+
+    def current(self) -> Snapshot:
+        with open(self._pointer_path) as fh:
+            version = json.load(fh)["version"]
+        with open(self._snapshot_path(version)) as fh:
+            return Snapshot.from_json(json.load(fh))
+
+    def snapshot_at(self, version: int) -> Snapshot:
+        with open(self._snapshot_path(version)) as fh:
+            return Snapshot.from_json(json.load(fh))
+
+    def history(self) -> list[int]:
+        snaps = os.listdir(os.path.join(self.root, "snapshots"))
+        return sorted(int(s[1:-5]) for s in snaps if s.endswith(".json"))
+
+    def _commit_snapshot(self, snap: Snapshot) -> None:
+        _atomic_write_json(self._snapshot_path(snap.version), snap.to_json())
+        _atomic_write_json(self._pointer_path, {"version": snap.version})
+
+    # -- read ---------------------------------------------------------------
+    def _bucket_expr(self, num_buckets: int, key_cols: list[str]):
+        return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(num_buckets)).cast("int")
+
+    def _read_files(
+        self, snap: Snapshot, files: list[dict], raw: bool = False
+    ) -> DataFrame:
+        """Read a set of data files, aligning each schema version to current.
+
+        Alignment is by field id: renamed columns map via id, added columns
+        null-fill, widened types cast — so old files never need rewriting.
+
+        Every data file carries two implicit columns:
+        - ``__tombstone boolean``: deletes are retained as tombstone rows
+          (nulled values, last_lsn = delete LSN) so a late *stale* update
+          cannot resurrect a deleted key. Visible reads filter them.
+        - ``__extras map<string,string>``: the writing event's dynamic-column
+          values. For columns added by schema evolution, visible reads fall
+          back to ``__extras`` (gated by the column's add LSN) so rows merged
+          *before* a late-arriving add_column still surface their values.
+
+        ``raw=True`` keeps both implicit columns and skips the extras
+        materialization — used by merge itself.
+        """
+        current = snap.schema
+        implicit = [
+            T.StructField(TOMBSTONE_COL, T.BooleanType(), True),
+            T.StructField(EXTRAS_COL, T.MapType(T.StringType(), T.StringType()), True),
+        ]
+        full_schema = T.StructType(current.spark_schema().fields + implicit)
+        if not files:
+            df = self.spark.createDataFrame([], full_schema)
+            return df if raw else df.drop(TOMBSTONE_COL, EXTRAS_COL)
+        by_sv: dict[int, list[str]] = {}
+        for f in files:
+            by_sv.setdefault(f["schema_version"], []).append(f["path"])
+        parts: list[DataFrame] = []
+        for sv, paths in sorted(by_sv.items()):
+            old = snap.schemas[sv]
+            read_schema = T.StructType(old.spark_schema().fields + implicit)
+            df = self.spark.read.schema(read_schema).parquet(*paths)
+            old_by_id = old.by_id()
+            cols = []
+            for fld in current.fields:
+                src = old_by_id.get(fld.field_id)
+                if src is None:
+                    cols.append(F.lit(None).cast(_SPARK_TYPES[fld.type]).alias(fld.name))
+                else:
+                    cols.append(F.col(src.name).cast(_SPARK_TYPES[fld.type]).alias(fld.name))
+            cols.append(F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)).alias(TOMBSTONE_COL))
+            cols.append(F.col(EXTRAS_COL).alias(EXTRAS_COL))
+            parts.append(df.select(*cols))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        if raw:
+            return out
+
+        # visible read: materialize evolution-added columns from __extras for
+        # rows written before the add_column was known, then hide implicits
+        out = out.filter(~F.col(TOMBSTONE_COL))
+        proj = []
+        for fld in current.fields:
+            if fld.field_id in snap.added_lsn:
+                lookups = [
+                    F.element_at(F.col(EXTRAS_COL), n)
+                    for n in snap.name_history(fld.field_id)
+                ]
+                fallback = F.when(
+                    F.col(snap.lsn_col) > F.lit(snap.added_lsn[fld.field_id]),
+                    F.coalesce(*lookups) if len(lookups) > 1 else lookups[0],
+                ).cast(_SPARK_TYPES[fld.type])
+                proj.append(F.coalesce(F.col(fld.name), fallback).alias(fld.name))
+            else:
+                proj.append(F.col(fld.name))
+        return out.select(*proj)
+
+    def read(self) -> DataFrame:
+        snap = self.current()
+        files = [f for bucket_files in snap.buckets.values() for f in bucket_files]
+        return self._read_files(snap, files)
+
+    def read_buckets(self, buckets: list[int], raw: bool = False) -> DataFrame:
+        snap = self.current()
+        files = [f for b in buckets for f in snap.buckets.get(b, [])]
+        return self._read_files(snap, files, raw=raw)
+
+    # -- schema evolution ----------------------------------------------------
+    def update_schema(self, kind: str, column: str, new_name: str | None = None,
+                      new_type: str | None = None, at_lsn: int | None = None) -> Snapshot:
+        """Apply one schema-change event. Metadata-only — no data rewrite.
+
+        kind ∈ add_column | rename_column | widen_type. Idempotent: re-applying
+        a change that is already in effect is a no-op (required for replay).
+        ``at_lsn`` (add_column): LSN of the change event — events with lower
+        LSNs never populate the column even if delivered late.
+        """
+        snap = self.current()
+        schema = snap.schema
+        fields = list(schema.fields)
+        names = {f.name: f for f in fields}
+        added_lsn = dict(snap.added_lsn)
+
+        if kind == "add_column":
+            if column in names:
+                return snap  # idempotent replay
+            if new_type not in _SPARK_TYPES:
+                raise ValueError(f"unsupported type {new_type!r}")
+            new_id = schema.max_id() + 1
+            fields.append(LakeField(new_id, column, new_type))
+            if at_lsn is not None:
+                added_lsn[new_id] = at_lsn
+        elif kind == "rename_column":
+            if column not in names:
+                if new_name in names:
+                    return snap  # already renamed (replay)
+                raise KeyError(f"no column {column!r}")
+            old = names[column]
+            fields[fields.index(old)] = LakeField(old.field_id, new_name, old.type)
+        elif kind == "widen_type":
+            if column not in names:
+                raise KeyError(f"no column {column!r}")
+            old = names[column]
+            if old.type == new_type:
+                return snap  # already widened (replay)
+            if new_type not in _WIDENINGS.get(old.type, set()):
+                raise ValueError(f"illegal widen {old.type} -> {new_type}")
+            fields[fields.index(old)] = LakeField(old.field_id, column, new_type)
+        else:
+            raise ValueError(f"unknown schema change kind {kind!r}")
+
+        new_sv = snap.schema_version + 1
+        new_schemas = dict(snap.schemas)
+        new_schemas[new_sv] = LakeSchema(fields)
+        new_snap = Snapshot(
+            version=snap.version + 1,
+            parent=snap.version,
+            batch_id=None,
+            last_batch_id=snap.last_batch_id,
+            schema_version=new_sv,
+            schemas=new_schemas,
+            num_buckets=snap.num_buckets,
+            key_cols=snap.key_cols,
+            lsn_col=snap.lsn_col,
+            buckets=snap.buckets,
+            code_hash=snap.code_hash,
+            added_lsn=added_lsn,
+        )
+        self._commit_snapshot(new_snap)
+        return new_snap
+
+    # -- merge (the CDC upsert) ----------------------------------------------
+    def merge(
+        self,
+        source: DataFrame,
+        batch_id: int,
+        op_col: str = "op",
+        lsn_col: str = "lsn",
+        extras_col: str | None = "extras",
+        lineage: dict | None = None,
+        metrics: dict | None = None,
+        code_hash: str | None = None,
+    ) -> Snapshot:
+        """Idempotent last-writer-wins MERGE of a pre-reduced batch.
+
+        ``source`` must hold exactly one row per key (the apply loop's max-LSN
+        reduction guarantees this) with columns: key_cols + current value
+        columns + ``op`` ∈ insert|update|delete + ``lsn``.
+
+        Semantics (MERGE INTO analog, reference: node-merge semantics at
+        /root/reference/src/translator_ingest/merging.py:20-88):
+          matched  AND src.lsn >  tgt.last_lsn AND op!=delete → UPDATE
+          matched  AND src.lsn >  tgt.last_lsn AND op==delete → DELETE
+                    (retained as a tombstone row so later *stale* updates
+                     with lower LSNs cannot resurrect the key)
+          matched  AND src.lsn <= tgt.last_lsn               → keep target
+                                                                (stale/duplicate)
+          not matched AND op!=delete                          → INSERT
+          not matched AND op==delete                          → tombstone
+                    (guards against a stale update arriving after the delete)
+
+        Only buckets present in the source are read and rewritten (COW with
+        bucket pruning). Re-merging an already-applied ``batch_id`` is a
+        metadata no-op — the exactly-once guard.
+        """
+        snap = self.current()
+        if batch_id <= snap.last_batch_id:
+            return snap  # already applied — exactly-once replay guard
+
+        keys = snap.key_cols
+        lsn_target = snap.lsn_col
+        value_cols = [n for n in snap.schema.names() if n not in keys and n != lsn_target]
+
+        src = source.withColumn("__bucket", self._bucket_expr(snap.num_buckets, keys))
+        # affected buckets: tiny driver-side list (≤ num_buckets), this is the
+        # bucket-pruning step that keeps merge cost O(batch), not O(table)
+        affected = sorted(
+            r["__bucket"] for r in src.select("__bucket").distinct().collect()
+        )
+
+        tgt = self.read_buckets(affected, raw=True)
+
+        extras_map_t = T.MapType(T.StringType(), T.StringType())
+        s_extras = (
+            F.col(extras_col) if extras_col and extras_col in source.columns
+            else F.lit(None).cast(extras_map_t)
+        )
+        s = src.select(
+            *[F.col(k).alias(f"__s_{k}") for k in keys],
+            *[F.col(c).alias(f"__s_{c}") for c in value_cols],
+            F.col(op_col).alias("__s_op"),
+            F.col(lsn_col).alias("__s_lsn"),
+            s_extras.alias("__s_extras"),
+        )
+        t = tgt.select(
+            *[F.col(k).alias(f"__t_{k}") for k in keys],
+            *[F.col(c).alias(f"__t_{c}") for c in value_cols],
+            F.col(lsn_target).alias("__t_lsn"),
+            F.col(TOMBSTONE_COL).alias("__t_tomb"),
+            F.col(EXTRAS_COL).alias("__t_extras"),
+        )
+
+        cond = None
+        for k in keys:
+            c = F.col(f"__s_{k}").eqNullSafe(F.col(f"__t_{k}"))
+            cond = c if cond is None else (cond & c)
+        joined = t.join(s, on=cond, how="full_outer")
+
+        take_src = F.col("__s_op").isNotNull() & (
+            F.col("__t_lsn").isNull() | (F.col("__s_lsn") > F.col("__t_lsn"))
+        )
+        is_del = take_src & (F.col("__s_op") == F.lit("delete"))
+
+        out_cols = []
+        for k in keys:
+            out_cols.append(F.coalesce(F.col(f"__s_{k}"), F.col(f"__t_{k}")).alias(k))
+        for c in value_cols:
+            out_cols.append(
+                F.when(is_del, F.lit(None))
+                .when(take_src, F.col(f"__s_{c}"))
+                .otherwise(F.col(f"__t_{c}"))
+                .alias(c)
+            )
+        out_cols.append(
+            F.when(take_src, F.col("__s_lsn")).otherwise(F.col("__t_lsn")).alias(lsn_target)
+        )
+        out_cols.append(
+            F.when(is_del, F.lit(True))
+            .when(take_src, F.lit(False))
+            .otherwise(F.coalesce(F.col("__t_tomb"), F.lit(False)))
+            .alias(TOMBSTONE_COL)
+        )
+        out_cols.append(
+            F.when(is_del, F.lit(None).cast(extras_map_t))
+            .when(take_src, F.col("__s_extras"))
+            .otherwise(F.col("__t_extras"))
+            .alias(EXTRAS_COL)
+        )
+        result = joined.select(*out_cols)
+        result = result.withColumn("__bucket", self._bucket_expr(snap.num_buckets, keys))
+
+        new_version = snap.version + 1
+        out_dir = self._data_dir(new_version)
+        # one shuffle partition per affected bucket → one file per bucket;
+        # at cluster scale raise files-per-bucket instead of packing one file
+        n_parts = max(len(affected), 1)
+        (
+            result.repartition(n_parts, "__bucket")
+            .write.partitionBy("__bucket")
+            .mode("overwrite")
+            .parquet(out_dir)
+        )
+
+        # collect written files per bucket (manifest plane — driver-side)
+        new_buckets = dict(snap.buckets)
+        for b in affected:
+            new_buckets[b] = []
+        bucket_dir_prefix = "__bucket="
+        if os.path.isdir(out_dir):
+            for entry in sorted(os.listdir(out_dir)):
+                if not entry.startswith(bucket_dir_prefix):
+                    continue
+                b = int(entry[len(bucket_dir_prefix):])
+                bdir = os.path.join(out_dir, entry)
+                for fn in sorted(os.listdir(bdir)):
+                    if fn.endswith(".parquet"):
+                        new_buckets.setdefault(b, [])
+                        new_buckets[b].append(
+                            {"path": os.path.join(bdir, fn),
+                             "schema_version": snap.schema_version}
+                        )
+
+        new_snap = Snapshot(
+            version=new_version,
+            parent=snap.version,
+            batch_id=batch_id,
+            last_batch_id=batch_id,
+            schema_version=snap.schema_version,
+            schemas=snap.schemas,
+            num_buckets=snap.num_buckets,
+            key_cols=keys,
+            lsn_col=lsn_target,
+            buckets=new_buckets,
+            lineage=lineage,
+            metrics=metrics,
+            code_hash=code_hash,
+            added_lsn=snap.added_lsn,
+        )
+        self._commit_snapshot(new_snap)
+        return new_snap

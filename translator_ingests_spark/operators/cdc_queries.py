@@ -1,0 +1,197 @@
+"""CDC queries over the driver's ``events`` table: a deterministic mapping
+from the generic event stream to a (repo, path)-keyed change log, plus the
+flagship full-engine replay whose final state is SQL-checkable.
+
+The mapping is pure column arithmetic — identical semantics are expressed in
+the DuckDB oracle SQL, so the driver's value-hash comparison covers the whole
+engine path (LWW reduce → tombstoned MERGE → snapshot read).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from translator_ingests_spark.cdc.apply import CdcEngine
+
+
+def events_as_cdc_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive a CDC log from events.parquet (deterministic, no synthesis):
+
+    - lsn      = event_id (dense total order)
+    - key      = (repo, path) from user_id / event_id arithmetic
+    - op       = delete when event_type='error', else insert/update
+    - content  = deterministic string of (event_type, value-cents, props)
+    - commit   = first 40 hex of sha256(lsn)
+    """
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    value_cents = F.round(F.col("value") * 100).cast("long")
+    content = F.concat_ws(
+        ":",
+        F.col("event_type"),
+        value_cents.cast("string"),
+        F.col("props"),
+    )
+    is_del = F.col("event_type") == "error"
+    return ev.select(
+        F.col("event_id").alias("lsn"),
+        F.when(is_del, F.lit("delete"))
+        .when(F.pmod(F.col("event_id"), F.lit(2)) == 0, F.lit("insert"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+        F.concat(F.lit("org/repo-"), F.pmod(F.col("user_id"), F.lit(37)).cast("string")).alias("repo"),
+        F.concat(
+            F.lit("src/f"),
+            F.col("user_id").cast("string"),
+            F.lit("_"),
+            F.pmod(F.col("event_id"), F.lit(5)).cast("string"),
+            F.lit(".py"),
+        ).alias("path"),
+        F.substring(F.sha2(F.col("event_id").cast("string"), 256), 1, 40).alias("commit"),
+        F.col("event_type").alias("lang"),
+        F.when(~is_del, content).alias("content"),
+        F.lit(None)
+        .cast("struct<kind:string,column:string,new_name:string,new_type:string>")
+        .alias("schema_change"),
+        F.pmod(F.col("event_id"), F.lit(8)).cast("int").alias("source_partition"),
+        F.col("event_id").alias("source_offset"),
+        F.lit(None).cast("map<string,string>").alias("extras"),
+    )
+
+
+# the same mapping in DuckDB SQL (shared CTE prefix for the oracles)
+_CDC_LOG_CTE = """
+WITH cdc AS (
+  SELECT
+    event_id AS lsn,
+    CASE WHEN event_type = 'error' THEN 'delete'
+         WHEN event_id % 2 = 0 THEN 'insert'
+         ELSE 'update' END AS op,
+    concat('org/repo-', CAST(user_id % 37 AS VARCHAR)) AS repo,
+    concat('src/f', CAST(user_id AS VARCHAR), '_',
+           CAST(event_id % 5 AS VARCHAR), '.py') AS path,
+    substring(sha256(CAST(event_id AS VARCHAR)), 1, 40) AS "commit",
+    event_type AS lang,
+    CASE WHEN event_type = 'error' THEN NULL
+         ELSE concat_ws(':', event_type,
+                        CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR),
+                        props) END AS content
+  FROM events
+)
+"""
+
+
+def cdc_log_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The derived change log itself (checkable projection of the mapping)."""
+    log = events_as_cdc_log(spark, sf_dir)
+    return log.select("lsn", "op", "repo", "path", "commit", "lang", "content").orderBy("lsn")
+
+
+CDC_LOG_PROJECTION_SQL = _CDC_LOG_CTE + """
+SELECT lsn, op, repo, path, "commit", lang, content FROM cdc ORDER BY lsn
+"""
+
+
+def cdc_lww_reduce_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The within-batch LWW reduction alone (max_by over (repo,path)) —
+    isolates the reduce operator from the merge/tombstone machinery."""
+    from translator_ingests_spark.cdc.reduce import lww_reduce
+
+    log = events_as_cdc_log(spark, sf_dir)
+    red = lww_reduce(log, keys=["repo", "path"])
+    return (
+        red.select("repo", "path", "op", "lsn", "commit", "lang", "content")
+        .orderBy("repo", "path")
+    )
+
+
+CDC_LWW_REDUCE_SQL = _CDC_LOG_CTE + """
+SELECT repo, path, op, lsn, "commit", lang, content
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+  FROM cdc
+)
+WHERE rn = 1
+ORDER BY repo, path
+"""
+
+
+def cdc_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP: full engine replay — the derived change log is applied
+    through the micro-batch loop (validate → salted LWW reduce → vectorized
+    content plane → tombstoned bucket-pruned MERGE → checkpoint manifests)
+    into a fresh lake table; returns the final visible state.
+
+    The oracle recomputes the same final state relationally: last writer per
+    key, deletes filtered, sha256 invariant recomputed in SQL.
+    """
+    root = tempfile.mkdtemp(prefix="cdc_replay_")
+    try:
+        eng = CdcEngine(
+            spark,
+            root,
+            num_buckets=16,
+            # content is ASCII-deterministic here; JVM normalization keeps
+            # the whole merge plan in codegen (Arrow path covered by tests)
+            use_arrow_normalize=False,
+        )
+        eng.apply_log(events_as_cdc_log(spark, sf_dir), n_batches=8)
+        out = (
+            eng.final_state()
+            .select("repo", "path", "commit", "lang", "content", "content_sha256", "last_lsn")
+            .orderBy("repo", "path")
+        )
+        # materialize before the temp lake dir disappears
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+CDC_REPLAY_SQL = _CDC_LOG_CTE + """
+SELECT repo, path, "commit", lang, content,
+       sha256(content) AS content_sha256,
+       lsn AS last_lsn
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+  FROM cdc
+)
+WHERE rn = 1 AND op <> 'delete'
+ORDER BY repo, path
+"""
+
+
+def cdc_manifest_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay and surface the per-batch checkpoint metrics/lineage totals —
+    rows-only check (engine-internal observability, not SQL-expressible)."""
+    root = tempfile.mkdtemp(prefix="cdc_metrics_")
+    try:
+        eng = CdcEngine(spark, root, num_buckets=16, use_arrow_normalize=False)
+        eng.apply_log(events_as_cdc_log(spark, sf_dir), n_batches=8)
+        mdf = eng.manifests_df().select(
+            "batch_id",
+            "applied_lsn_min",
+            "applied_lsn_max",
+            "snapshot_id",
+            F.col("metrics.events_in").alias("events_in"),
+            F.col("metrics.rows_upserted").alias("rows_upserted"),
+            F.col("metrics.rows_deleted").alias("rows_deleted"),
+            F.col("metrics.dups_dropped").alias("dups_dropped"),
+            F.col("metrics.lag_events").alias("lag_events"),
+        )
+        rows = mdf.collect()
+        return spark.createDataFrame(rows, mdf.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+QUERIES = {
+    "cdc_log_projection": (cdc_log_projection, CDC_LOG_PROJECTION_SQL),
+    "cdc_lww_reduce_only": (cdc_lww_reduce_only, CDC_LWW_REDUCE_SQL),
+    "cdc_replay_final_state": (cdc_replay_final_state, CDC_REPLAY_SQL),
+    "cdc_manifest_metrics": (cdc_manifest_metrics, None),  # rows-only check
+}
