@@ -160,9 +160,18 @@ class CdcEngine:
             per = events_per_batch or max(1, -(-total // n_batches))
             batch_idx = F.floor(F.col("lsn") / F.lit(per))
 
-        events = events.withColumn("__batch", batch_idx.cast("long"))
-        # distinct batch indices actually present (sparse LSN spaces skip
-        # empty batches); tiny driver-side list
+        events = events.withColumn("__batch", batch_idx.cast("long")).persist()
+
+        # ONE upfront job: distinct batch indices present (sparse LSN spaces
+        # skip empty batches) + every schema-change event with its batch —
+        # schema events are rare, so this is a tiny driver-side list and
+        # saves a per-batch scan
+        head = events.select("__batch", "op", "lsn", "schema_change").filter(
+            (F.col("op") == "schema_change")
+        )
+        schema_events: dict[int, list] = {}
+        for r in head.collect():
+            schema_events.setdefault(r["__batch"], []).append(r)
         present = sorted(
             r["__batch"] for r in events.select("__batch").distinct().collect()
         )
@@ -174,13 +183,7 @@ class CdcEngine:
             batch = events.filter(F.col("__batch") == b).drop("__batch")
             batch = batch.persist()
             try:
-                # schema events are rare; collecting them is driver-plane work
-                schema_rows = (
-                    batch.filter(F.col("op") == "schema_change")
-                    .select("lsn", "schema_change")
-                    .collect()
-                )
-                schema_rows.sort(key=lambda r: r["lsn"])
+                schema_rows = sorted(schema_events.get(b, []), key=lambda r: r["lsn"])
                 data = batch.filter(F.col("op").isin(*_DATA_OPS))
 
                 # split data at each schema-change LSN: sub-batch below the
@@ -200,6 +203,7 @@ class CdcEngine:
                         consumed = min(total, consumed + m["metrics"]["events_in"])
                     unit_id += 1
                     if max_units is not None and unit_id >= max_units:
+                        events.unpersist()
                         return manifests
                     if i < len(schema_rows):
                         sc = schema_rows[i]["schema_change"]
@@ -210,6 +214,7 @@ class CdcEngine:
                         consumed = min(total, consumed + 1)
             finally:
                 batch.unpersist()
+        events.unpersist()
         return manifests
 
     # -- one committed unit ----------------------------------------------------
@@ -222,37 +227,33 @@ class CdcEngine:
         t0 = time.monotonic()
         data = data.persist()
         try:
-            valid = data.filter(
+            is_valid = (
                 F.col("repo").isNotNull() & F.col("path").isNotNull() & F.col("lsn").isNotNull()
             )
-            stats = data.select(
-                F.count(F.lit(1)).alias("events_in"),
-                F.count(
-                    F.when(
-                        F.col("repo").isNotNull()
-                        & F.col("path").isNotNull()
-                        & F.col("lsn").isNotNull(),
-                        1,
-                    )
-                ).alias("valid"),
-                F.min("lsn").alias("lsn_min"),
-                F.max("lsn").alias("lsn_max"),
-            ).collect()[0]
-            if stats["events_in"] == 0:
-                return None
+            valid = data.filter(is_valid)
 
-            # lineage: per origin partition, offset/LSN ranges + row counts
+            # ONE aggregation job yields per-partition lineage AND (summed
+            # driver-side) the global validity stats — no separate global pass
             lineage_rows = (
-                valid.groupBy("source_partition")
+                data.groupBy("source_partition")
                 .agg(
-                    F.min("source_offset").alias("offset_min"),
-                    F.max("source_offset").alias("offset_max"),
-                    F.min("lsn").alias("lsn_min"),
-                    F.max("lsn").alias("lsn_max"),
-                    F.count(F.lit(1)).alias("rows"),
+                    F.count(F.lit(1)).alias("events_in"),
+                    F.count(F.when(is_valid, 1)).alias("rows"),
+                    F.min(F.when(is_valid, F.col("source_offset"))).alias("offset_min"),
+                    F.max(F.when(is_valid, F.col("source_offset"))).alias("offset_max"),
+                    F.min(F.when(is_valid, F.col("lsn"))).alias("lsn_min"),
+                    F.max(F.when(is_valid, F.col("lsn"))).alias("lsn_max"),
                 )
                 .collect()
             )
+            events_in = sum(r["events_in"] for r in lineage_rows)
+            if events_in == 0:
+                return None
+            n_valid = sum(r["rows"] for r in lineage_rows)
+            lsn_min = min((r["lsn_min"] for r in lineage_rows if r["lsn_min"] is not None),
+                          default=None)
+            lsn_max = max((r["lsn_max"] for r in lineage_rows if r["lsn_max"] is not None),
+                          default=None)
             lineage = sorted(
                 (
                     {
@@ -264,68 +265,69 @@ class CdcEngine:
                         "rows": r["rows"],
                     }
                     for r in lineage_rows
+                    if r["rows"] > 0
                 ),
                 key=lambda d: (d["partition"] is None, d["partition"]),
             )
 
-            hot = detect_hot_keys(
-                valid,
-                key_col="repo",
-                sample_fraction=self.hot_sample_fraction,
-                hot_threshold=self.hot_key_threshold,
-            )
+            # hot-key detection only when the batch could contain a hot key
+            # at all (driver-side short-circuit saves a job per small batch)
+            hot: list[str] = []
+            if n_valid >= self.hot_key_threshold:
+                hot = detect_hot_keys(
+                    valid,
+                    key_col="repo",
+                    sample_fraction=self.hot_sample_fraction,
+                    hot_threshold=self.hot_key_threshold,
+                )
             reduced = lww_reduce(
                 valid,
                 keys=["repo", "path"],
                 hot_keys=hot,
                 salt_buckets=self.salt_buckets,
-            ).persist()
-            try:
-                return self._merge_reduced(reduced, snap, stats, lineage, unit_id, t0, lag_events, len(hot))
-            finally:
-                reduced.unpersist()
+            )
+
+            source = self._derive_columns(reduced, snap)
+            metrics = {
+                "events_in": int(events_in),
+                "invalid_events": int(events_in - n_valid),
+                "hot_keys_salted": len(hot),
+            }
+            merge_stats: dict = {}
+            new_snap = self.table.merge(
+                source,
+                batch_id=unit_id,
+                lineage=lineage,
+                metrics=metrics,
+                code_hash=self.code_hash,
+                stats_out=merge_stats,
+            )
+            elapsed = max(time.monotonic() - t0, 1e-9)
+            n_red = merge_stats.get("rows", 0)
+            n_del = merge_stats.get("deletes", 0)
+            metrics.update(
+                {
+                    "rows_upserted": int(n_red - n_del),
+                    "rows_deleted": int(n_del),
+                    "dups_dropped": int(n_valid - n_red),
+                    "events_per_sec": round(events_in / elapsed, 2),
+                    "lag_events": int(lag_events - events_in),
+                }
+            )
+            manifest = {
+                "batch_id": unit_id,
+                "applied_lsn_min": lsn_min,
+                "applied_lsn_max": lsn_max,
+                "source_offsets": {str(d["partition"]): d["offset_max"] for d in lineage},
+                "code_hash": self.code_hash,
+                "snapshot_id": new_snap.version,
+                "per_partition_lineage": lineage,
+                "metrics": metrics,
+            }
+            self._write_ckpt(unit_id, manifest)
+            return manifest
         finally:
             data.unpersist()
-
-    def _merge_reduced(
-        self, reduced, snap, stats, lineage, unit_id, t0, lag_events, n_hot
-    ) -> dict:
-        red_stats = reduced.select(
-            F.count(F.lit(1)).alias("n"),
-            F.count(F.when(F.col("op") == "delete", 1)).alias("n_del"),
-        ).collect()[0]
-
-        source = self._derive_columns(reduced, snap)
-        metrics = {
-            "events_in": int(stats["events_in"]),
-            "invalid_events": int(stats["events_in"] - stats["valid"]),
-            "rows_upserted": int(red_stats["n"] - red_stats["n_del"]),
-            "rows_deleted": int(red_stats["n_del"]),
-            "dups_dropped": int(stats["valid"] - red_stats["n"]),
-            "hot_keys_salted": n_hot,
-        }
-        new_snap = self.table.merge(
-            source,
-            batch_id=unit_id,
-            lineage=lineage,
-            metrics=metrics,
-            code_hash=self.code_hash,
-        )
-        elapsed = max(time.monotonic() - t0, 1e-9)
-        metrics["events_per_sec"] = round(stats["events_in"] / elapsed, 2)
-        metrics["lag_events"] = int(lag_events - stats["events_in"])
-        manifest = {
-            "batch_id": unit_id,
-            "applied_lsn_min": stats["lsn_min"],
-            "applied_lsn_max": stats["lsn_max"],
-            "source_offsets": {str(d["partition"]): d["offset_max"] for d in lineage},
-            "code_hash": self.code_hash,
-            "snapshot_id": new_snap.version,
-            "per_partition_lineage": lineage,
-            "metrics": metrics,
-        }
-        self._write_ckpt(unit_id, manifest)
-        return manifest
 
     def _derive_columns(self, reduced: DataFrame, snap) -> DataFrame:
         """Align the reduced batch to the current lake schema: normalized

