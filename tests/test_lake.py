@@ -88,22 +88,25 @@ def test_batch_idempotency_guard(spark, tmp_table_root):
     assert state(t) == {("r1", "a"): ("v1", 1)}
 
 
-def test_bucket_pruning_rewrites_only_affected(spark, tmp_table_root):
+def test_file_pruning_rewrites_only_affected(spark, tmp_table_root):
     t = make_table(spark, tmp_table_root, num_buckets=8)
     rows = [(f"r{i}", f"p{i}", "v", "insert", i) for i in range(50)]
     t.merge(src_df(spark, rows), 0)
     snap0 = t.current()
-    files0 = {b: tuple(f["path"] for f in fs) for b, fs in snap0.buckets.items()}
-    # single-key update touches exactly one bucket
+    files0 = {f["path"] for f in snap0.files}
+    assert len(files0) > 1  # multiple bucket-range files
+    # single-key update touches only the file(s) covering its bucket
     t.merge(src_df(spark, [("r7", "p7", "v2", "update", 100)]), 1)
     snap1 = t.current()
-    changed = [
-        b for b in snap1.buckets
-        if tuple(f["path"] for f in snap1.buckets[b]) != files0.get(b, ())
-    ]
-    assert len(changed) == 1
+    files1 = {f["path"] for f in snap1.files}
+    kept = files0 & files1
+    assert kept, "unaffected files must be retained, not rewritten"
+    assert len(files0 - files1) < len(files0), "pruning must not drop all files"
     assert state(t)[("r7", "p7")] == ("v2", 100)
     assert t.read().count() == 50
+    # every file's bucket range is within the table's bucket domain
+    for f in snap1.files:
+        assert 0 <= f["bucket_min"] <= f["bucket_max"] < 8
 
 
 def test_schema_evolution_add_rename_widen(spark, tmp_table_root):
@@ -157,5 +160,4 @@ def test_time_travel_snapshots(spark, tmp_table_root):
     t.merge(src_df(spark, [("r", "a", "v2", "update", 2)]), 1)
     assert t.history() == [0, 1, 2]
     old = t.snapshot_at(1)
-    files = [f for fs in old.buckets.values() for f in fs]
-    assert t._read_files(old, files).collect()[0]["content"] == "v1"
+    assert t._read_files(old, old.files).collect()[0]["content"] == "v1"

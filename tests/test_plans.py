@@ -1,0 +1,90 @@
+"""Physical-plan quality gates: the plans we'd want at 100 TB, asserted at
+test scale — filters/projections reach the parquet scan, dimension joins go
+broadcast, the LWW reduce is one partial-aggregated shuffle, and no data
+path collects rows to the driver."""
+
+import re
+
+from pyspark.sql import functions as F
+
+from translator_ingests_spark.cdc.generator import generate_event_log
+from translator_ingests_spark.cdc.reduce import lww_reduce
+from translator_ingests_spark.operators import relational
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_filter_and_projection_pushdown(spark):
+    plan = plan_of(relational.q1_pricing_summary(spark, SF))
+    # predicate reaches the scan
+    assert "PushedFilters" in plan and "l_shipdate" in plan
+    # column pruning: unused columns (l_comment-like: l_partkey/suppkey) not read
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and "l_partkey" not in m.group(1) and "l_orderkey" not in m.group(1)
+    # aggregation is partial (map-side combine) then final
+    assert "partial_sum" in plan and plan.count("HashAggregate") >= 2
+
+
+def test_q5_broadcasts_dimensions(spark):
+    plan = plan_of(relational.q5_local_supplier_volume(spark, SF))
+    assert "BroadcastHashJoin" in plan  # region/nation sides broadcast
+
+
+def test_semi_and_anti_joins_stay_semi(spark):
+    p1 = plan_of(relational.semi_join_customers_with_urgent_orders(spark, SF))
+    assert "LeftSemi" in p1
+    p2 = plan_of(relational.anti_join_parts_never_ordered(spark, SF))
+    assert "LeftAnti" in p2
+
+
+def test_lww_reduce_is_single_partial_agg_shuffle(spark):
+    log = generate_event_log(spark, 1000, seed=3)
+    red = lww_reduce(log, keys=["repo", "path"])
+    plan = plan_of(red)
+    # partial max_by before the exchange, final after: exactly one shuffle
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("max_by") >= 2  # partial_max_by + max_by
+
+
+def test_lww_reduce_salted_two_phase(spark):
+    log = generate_event_log(spark, 1000, seed=3)
+    red = lww_reduce(log, keys=["repo", "path"], hot_keys=["org/mega-repo-000"],
+                     salt_buckets=8)
+    plan = plan_of(red)
+    # two aggregation rounds (salted then final)
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_reader_filter_pushdown_counts_as_scan_filter(spark):
+    df = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .select("l_orderkey", "l_quantity")
+        .filter(F.col("l_quantity") > 30)
+    )
+    plan = plan_of(df)
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "l_quantity" in m.group(1)
+    m2 = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m2 and "l_extendedprice" not in m2.group(1)
+
+
+def test_no_collect_in_operator_sources():
+    """Static gate: no .collect( in operator/data-path modules (driver-side
+    loops disqualify an operator from being distributed). The CDC engine's
+    driver plane may collect manifests/buckets (O(buckets), not O(rows))."""
+    import glob
+    import os
+
+    root = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "translator_ingests_spark")
+    offenders = []
+    for path in glob.glob(f"{root}/operators/*.py"):
+        src = open(path).read()
+        for i, line in enumerate(src.splitlines(), 1):
+            if ".collect()" in line and "rows = " not in line:
+                offenders.append(f"{os.path.basename(path)}:{i}")
+    assert not offenders, offenders

@@ -1,0 +1,69 @@
+"""Replay-validation gate: passes on a clean replay, catches injected
+corruption (digest drift) — the pipeline-abort shape."""
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from translator_ingests_spark.cdc import CdcEngine, EVENT_SCHEMA, generate_event_log
+from translator_ingests_spark.cdc.validate import gate, validate_engine_state
+
+
+def _build(spark, tmp_path, n=800):
+    events = generate_event_log(spark, n, seed=31, n_repos=12, paths_per_repo=5)
+    rows = [r.asDict(recursive=True) for r in events.collect()]
+    eng = CdcEngine(spark, str(tmp_path / "cdc"), num_buckets=4)
+    eng.apply_log(spark.createDataFrame(rows, EVENT_SCHEMA), events_per_batch=200)
+    return eng
+
+
+def test_clean_replay_passes_gate(spark, tmp_path):
+    eng = _build(spark, tmp_path)
+    report = gate(eng)
+    assert report["passed"]
+    assert report["rows"] > 0
+    assert report["batches"] == 4
+    assert report["sha_mismatches"] == 0
+    assert report["lineage_overlaps"] == 0
+
+
+def test_corrupted_digest_fails_gate(spark, tmp_path):
+    eng = _build(spark, tmp_path)
+    # corrupt one LIVE data file (from the current manifest, not orphans):
+    # swap a single digest value, preserving every other column's layout
+    import pyarrow as pa
+
+    snap = eng.table.current()
+    live = [f["path"] for f in snap.files]
+    target = next(f for f in live if pq.read_table(f).num_rows > 0)
+    tbl = pq.read_table(target)
+    idx = tbl.schema.get_field_index("content_sha256")
+    vals = tbl.column(idx).to_pylist()
+    flip = next(i for i, v in enumerate(vals) if v is not None)
+    vals[flip] = "0" * 64
+    tbl = tbl.set_column(idx, tbl.schema.field(idx), pa.array(vals, type=pa.string()))
+    pq.write_table(tbl, target)
+    # hadoop local FS keeps a .crc sidecar; drop it so the rewrite is readable
+    crc = os.path.join(os.path.dirname(target), "." + os.path.basename(target) + ".crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    report = validate_engine_state(eng)
+    assert not report["passed"] and report["sha_mismatches"] >= 1
+    with pytest.raises(AssertionError):
+        gate(eng)
+
+
+def test_validation_catches_duplicate_keys_by_construction(spark, tmp_path):
+    """Sanity: the uniqueness check counts (repo,path) duplicates — the
+    engine itself never produces them, so inject via a manual extra file."""
+    eng = _build(spark, tmp_path, n=200)
+    snap = eng.table.current()
+    # duplicate an existing manifest file entry → same rows read twice
+    snap.files.append(dict(snap.files[0]))
+    eng.table._commit_snapshot(snap)
+    report = validate_engine_state(eng)
+    assert report["duplicate_keys"] > 0 and not report["passed"]

@@ -160,7 +160,12 @@ class CdcEngine:
             per = events_per_batch or max(1, -(-total // n_batches))
             batch_idx = F.floor(F.col("lsn") / F.lit(per))
 
-        events = events.withColumn("__batch", batch_idx.cast("long")).persist()
+        events = events.withColumn("__batch", batch_idx.cast("long"))
+        # cache the batched log once (unless the caller already persisted the
+        # source — double-caching large logs doubles memory pressure)
+        already_cached = events.storageLevel.useMemory or events.storageLevel.useDisk
+        if not already_cached:
+            events = events.persist()
 
         # ONE upfront job: distinct batch indices present (sparse LSN spaces
         # skip empty batches) + every schema-change event with its batch —
@@ -203,7 +208,8 @@ class CdcEngine:
                         consumed = min(total, consumed + m["metrics"]["events_in"])
                     unit_id += 1
                     if max_units is not None and unit_id >= max_units:
-                        events.unpersist()
+                        if not already_cached:
+                            events.unpersist()
                         return manifests
                     if i < len(schema_rows):
                         sc = schema_rows[i]["schema_change"]
@@ -214,7 +220,8 @@ class CdcEngine:
                         consumed = min(total, consumed + 1)
             finally:
                 batch.unpersist()
-        events.unpersist()
+        if not already_cached:
+            events.unpersist()
         return manifests
 
     # -- one committed unit ----------------------------------------------------
@@ -225,7 +232,8 @@ class CdcEngine:
             return self._read_ckpt(unit_id)
 
         t0 = time.monotonic()
-        data = data.persist()
+        # NOTE: no extra persist here — `data` is a cheap filter over the
+        # already-cached batch; a second cache would double memory per batch
         try:
             is_valid = (
                 F.col("repo").isNotNull() & F.col("path").isNotNull() & F.col("lsn").isNotNull()
@@ -327,7 +335,7 @@ class CdcEngine:
             self._write_ckpt(unit_id, manifest)
             return manifest
         finally:
-            data.unpersist()
+            pass
 
     def _derive_columns(self, reduced: DataFrame, snap) -> DataFrame:
         """Align the reduced batch to the current lake schema: normalized

@@ -31,6 +31,7 @@ def generate_event_log(
     schema_changes: list[dict] | None = None,
     shuffle_delivery: bool = False,
     n_spark_partitions: int | None = None,
+    content_repeat: int = 1,
 ) -> DataFrame:
     """Build the event log. ``lsn`` is a total order 0..n_events-1.
 
@@ -64,10 +65,14 @@ def generate_event_log(
         ((h("l") % 5) + 1).cast("int"),
     )
     commit = F.substring(F.sha2(F.concat(F.lit(str(seed)), F.lit(":"), F.col("lsn").cast("string")), 256), 1, 40)
-    content = F.concat(
-        F.lit("// commit "), commit, F.lit("\n"),
+    body_line = F.concat(
         F.lit("fn body_"), (h("c") % 100000).cast("string"),
         F.lit("() { return "), (h("v") % 1000).cast("string"), F.lit("; }\n"),
+    )
+    # content_repeat scales per-row payload toward realistic source-file
+    # sizes (KBs) without changing determinism
+    content = F.concat(
+        F.lit("// commit "), commit, F.lit("\n"), F.repeat(body_line, content_repeat)
     )
     del_pm = 1_000_000
     is_delete = (h("del") % del_pm) < int(delete_fraction * del_pm)

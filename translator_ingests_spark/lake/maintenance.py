@@ -1,0 +1,109 @@
+"""Lake maintenance: snapshot expiry (GC) and small-file compaction.
+
+Reference analogs: S15 old-version cleanup
+(/root/reference/src/translator_ingest/util/storage/s3.py:220-366) and the
+save-memory merge mode — re-expressed as Iceberg-style `expire_snapshots`
+plus a bucket-range compaction that rewrites many small files into few,
+folding tombstones out once no retained snapshot needs them.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from translator_ingests_spark.lake.table import (
+    LakeTable,
+    Snapshot,
+    _bucket_range_from_footer,
+)
+
+
+def expire_snapshots(table: LakeTable, keep_last: int = 2) -> dict:
+    """Drop all but the newest ``keep_last`` snapshots and delete data files
+    referenced by no retained snapshot. The current pointer is never
+    touched; deletion order (files before manifests) keeps every retained
+    snapshot readable at all times."""
+    history = table.history()
+    if len(history) <= keep_last:
+        return {"snapshots_removed": 0, "files_removed": 0}
+    keep = set(history[-keep_last:])
+    keep.add(table.current().version)
+
+    live: set[str] = set()
+    for v in keep:
+        snap = table.snapshot_at(v)
+        live.update(f["path"] for f in snap.files)
+
+    removed_files = 0
+    data_root = os.path.join(table.root, "data")
+    for dirpath, _dirs, files in os.walk(data_root):
+        for fn in files:
+            full = os.path.join(dirpath, fn)
+            if full.endswith(".parquet") and full not in live:
+                os.remove(full)
+                removed_files += 1
+
+    removed_snaps = 0
+    for v in history:
+        if v not in keep:
+            os.remove(table._snapshot_path(v))
+            removed_snaps += 1
+    return {"snapshots_removed": removed_snaps, "files_removed": removed_files}
+
+
+def compact(table: LakeTable, target_files: int | None = None,
+            drop_tombstones: bool = False) -> Snapshot:
+    """Rewrite the table's data files into ~target_files range-partitioned
+    files. With ``drop_tombstones`` the retained delete markers are folded
+    out — only safe once no out-of-order events older than the tombstones
+    can still arrive (a retention watermark decision the caller owns)."""
+    snap = table.current()
+    df = table._read_files(snap, snap.files, raw=True)
+    if not drop_tombstones:
+        pass
+    else:
+        from translator_ingests_spark.lake.table import TOMBSTONE_COL
+
+        df = df.filter(~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)))
+    df = df.withColumn(
+        "__bucket", table._bucket_expr(snap.num_buckets, snap.key_cols)
+    )
+    n = target_files or max(1, snap.num_buckets // 4)
+    new_version = snap.version + 1
+    out_dir = table._data_dir(new_version)
+    (
+        df.repartitionByRange(n, "__bucket")
+        .sortWithinPartitions("__bucket")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    new_files = []
+    for fn in sorted(os.listdir(out_dir)):
+        if not fn.endswith(".parquet"):
+            continue
+        path = os.path.join(out_dir, fn)
+        rng = _bucket_range_from_footer(path)
+        if rng is None:
+            continue
+        new_files.append(
+            {"path": path, "schema_version": snap.schema_version,
+             "bucket_min": rng[0], "bucket_max": rng[1]}
+        )
+    new_snap = Snapshot(
+        version=new_version,
+        parent=snap.version,
+        batch_id=None,
+        last_batch_id=snap.last_batch_id,
+        schema_version=snap.schema_version,
+        schemas=snap.schemas,
+        num_buckets=snap.num_buckets,
+        key_cols=snap.key_cols,
+        lsn_col=snap.lsn_col,
+        files=new_files,
+        code_hash=snap.code_hash,
+        added_lsn=snap.added_lsn,
+    )
+    table._commit_snapshot(new_snap)
+    return new_snap

@@ -124,8 +124,10 @@ class Snapshot:
     num_buckets: int
     key_cols: list[str]
     lsn_col: str
-    # bucket -> list of {"path": str, "schema_version": int}
-    buckets: dict[int, list[dict]]
+    # data files: {"path", "schema_version", "bucket_min", "bucket_max"} —
+    # bucket ranges are exact under the range-partitioned write and drive
+    # file pruning (an Iceberg-manifest-stats analog)
+    files: list[dict]
     lineage: dict | None = None
     metrics: dict | None = None
     code_hash: str | None = None
@@ -144,7 +146,7 @@ class Snapshot:
             "num_buckets": self.num_buckets,
             "key_cols": self.key_cols,
             "lsn_col": self.lsn_col,
-            "buckets": {str(k): v for k, v in self.buckets.items()},
+            "files": self.files,
             "lineage": self.lineage,
             "metrics": self.metrics,
             "code_hash": self.code_hash,
@@ -163,7 +165,7 @@ class Snapshot:
             num_buckets=d["num_buckets"],
             key_cols=d["key_cols"],
             lsn_col=d["lsn_col"],
-            buckets={int(k): v for k, v in d["buckets"].items()},
+            files=d["files"],
             lineage=d.get("lineage"),
             metrics=d.get("metrics"),
             code_hash=d.get("code_hash"),
@@ -183,6 +185,37 @@ class Snapshot:
     @property
     def schema(self) -> LakeSchema:
         return self.schemas[self.schema_version]
+
+
+def _bucket_range_from_footer(path: str) -> tuple[int, int] | None:
+    """Min/max of the __bucket column from parquet row-group statistics —
+    metadata-only read, no data pages touched."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    if md.num_rows == 0:
+        return None
+    idx = None
+    schema = md.schema
+    for i in range(len(schema)):
+        if schema.column(i).name == "__bucket":
+            idx = i
+            break
+    if idx is None:
+        return None
+    lo = hi = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            # fall back: read just the bucket column
+            import pyarrow.parquet as _pq
+
+            col = _pq.read_table(path, columns=["__bucket"]).column(0)
+            vals = [v for v in col.to_pylist() if v is not None]
+            return (min(vals), max(vals)) if vals else None
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    return (lo, hi) if lo is not None else None
 
 
 def _atomic_write_json(path: str, payload: dict) -> None:
@@ -242,7 +275,7 @@ class LakeTable:
             num_buckets=num_buckets,
             key_cols=key_cols,
             lsn_col=lsn_col,
-            buckets={},
+            files=[],
         )
         table._commit_snapshot(snap)
         return table
@@ -347,13 +380,22 @@ class LakeTable:
 
     def read(self) -> DataFrame:
         snap = self.current()
-        files = [f for bucket_files in snap.buckets.values() for f in bucket_files]
-        return self._read_files(snap, files)
+        return self._read_files(snap, snap.files)
+
+    @staticmethod
+    def _files_overlapping(snap: Snapshot, buckets: list[int]) -> list[dict]:
+        """Manifest-level file pruning: files whose bucket range intersects
+        the requested buckets (ranges are tight under the range-partitioned
+        write, so this is ≈ exact bucket pruning)."""
+        wanted = set(buckets)
+        return [
+            f for f in snap.files
+            if any(f["bucket_min"] <= b <= f["bucket_max"] for b in wanted)
+        ]
 
     def read_buckets(self, buckets: list[int], raw: bool = False) -> DataFrame:
         snap = self.current()
-        files = [f for b in buckets for f in snap.buckets.get(b, [])]
-        return self._read_files(snap, files, raw=raw)
+        return self._read_files(snap, self._files_overlapping(snap, buckets), raw=raw)
 
     # -- schema evolution ----------------------------------------------------
     def update_schema(self, kind: str, column: str, new_name: str | None = None,
@@ -412,7 +454,7 @@ class LakeTable:
             num_buckets=snap.num_buckets,
             key_cols=snap.key_cols,
             lsn_col=snap.lsn_col,
-            buckets=snap.buckets,
+            files=snap.files,
             code_hash=snap.code_hash,
             added_lsn=added_lsn,
         )
@@ -482,7 +524,12 @@ class LakeTable:
             stats_out["deletes"] = sum(r["n_del"] for r in bucket_rows)
             stats_out["affected_buckets"] = len(affected)
 
-        tgt = self.read_buckets(affected, raw=True)
+        # file pruning: only files whose bucket range intersects the batch
+        # are read and rewritten; their rows in *other* buckets pass through
+        # the merge untouched (target-only rows survive by construction)
+        affected_files = self._files_overlapping(snap, affected)
+        untouched_files = [f for f in snap.files if f not in affected_files]
+        tgt = self._read_files(snap, affected_files, raw=True)
 
         extras_map_t = T.MapType(T.StringType(), T.StringType())
         s_extras = (
@@ -542,38 +589,55 @@ class LakeTable:
         )
         result = joined.select(*out_cols)
         result = result.withColumn("__bucket", self._bucket_expr(snap.num_buckets, keys))
+        # repartitionByRange SAMPLES its input — without a cache the full
+        # outer join would be computed twice (sample pass + write pass)
+        result = result.persist()
 
         new_version = snap.version + 1
         out_dir = self._data_dir(new_version)
-        # one shuffle partition per affected bucket → one file per bucket;
-        # at cluster scale raise files-per-bucket instead of packing one file
-        n_parts = max(len(affected), 1)
+        # range-partition on the bucket id → each output file covers a tight
+        # contiguous bucket range (manifest stats stay selective), written as
+        # a PLAIN parquet write — the dynamic-partition (partitionBy) commit
+        # path is ~10× slower for many small partitions and serializes in
+        # the committer. Sort within partitions keeps bucket ids RLE-cheap
+        # and row groups clustered for downstream key pruning.
+        # file count ∝ cluster parallelism, not bucket count — 64 tiny files
+        # per commit just multiply task-scheduling and footer costs
+        par = self.spark.sparkContext.defaultParallelism
+        n_parts = max(1, min(len(affected), par))
         (
-            result.repartition(n_parts, "__bucket")
-            .write.partitionBy("__bucket")
-            .mode("overwrite")
+            result.repartitionByRange(n_parts, "__bucket")
+            .sortWithinPartitions("__bucket")
+            .write.mode("overwrite")
             .parquet(out_dir)
         )
+        result.unpersist()
         src.unpersist()
 
-        # collect written files per bucket (manifest plane — driver-side)
-        new_buckets = dict(snap.buckets)
-        for b in affected:
-            new_buckets[b] = []
-        bucket_dir_prefix = "__bucket="
+        # manifest plane: record each written file with its bucket range
+        # (parquet footer stats — metadata-only, fetched concurrently)
+        new_files = list(untouched_files)
         if os.path.isdir(out_dir):
-            for entry in sorted(os.listdir(out_dir)):
-                if not entry.startswith(bucket_dir_prefix):
-                    continue
-                b = int(entry[len(bucket_dir_prefix):])
-                bdir = os.path.join(out_dir, entry)
-                for fn in sorted(os.listdir(bdir)):
-                    if fn.endswith(".parquet"):
-                        new_buckets.setdefault(b, [])
-                        new_buckets[b].append(
-                            {"path": os.path.join(bdir, fn),
-                             "schema_version": snap.schema_version}
-                        )
+            paths = [
+                os.path.join(out_dir, fn)
+                for fn in sorted(os.listdir(out_dir))
+                if fn.endswith(".parquet")
+            ]
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(16, max(1, len(paths)))) as pool:
+                ranges = list(pool.map(_bucket_range_from_footer, paths))
+            for path, rng in zip(paths, ranges):
+                if rng is None:
+                    continue  # empty file
+                new_files.append(
+                    {
+                        "path": path,
+                        "schema_version": snap.schema_version,
+                        "bucket_min": rng[0],
+                        "bucket_max": rng[1],
+                    }
+                )
 
         new_snap = Snapshot(
             version=new_version,
@@ -585,7 +649,7 @@ class LakeTable:
             num_buckets=snap.num_buckets,
             key_cols=keys,
             lsn_col=lsn_target,
-            buckets=new_buckets,
+            files=new_files,
             lineage=lineage,
             metrics=metrics,
             code_hash=code_hash,
