@@ -32,9 +32,15 @@ def _registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str
     for mod in (relational, cdc_queries):
         reg.update(mod.QUERIES)
     try:
-        from translator_ingests_spark.operators import analytics, dedup, similarity, text
+        from translator_ingests_spark.operators import (
+            analytics,
+            dedup,
+            reference_shapes,
+            similarity,
+            text,
+        )
 
-        for mod in (analytics, dedup, similarity, text):
+        for mod in (analytics, dedup, reference_shapes, similarity, text):
             reg.update(mod.QUERIES)
     except ImportError:
         pass

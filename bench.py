@@ -69,7 +69,7 @@ def main():
         n_events = log.count()
         eng = CdcEngine(spark, root, num_buckets=32, use_arrow_normalize=False)
         t0 = time.monotonic()
-        eng.apply_log(log, n_batches=8, total_events=n_events)
+        eng.apply_log(log, n_batches=4, total_events=n_events)
         elapsed = time.monotonic() - t0
         log.unpersist()
     finally:
