@@ -26,7 +26,23 @@ def replay_oracle(events: list[dict]) -> dict[tuple[str, str], dict]:
     state: dict[tuple[str, str], dict] = {}
     tomb: dict[tuple[str, str], int] = {}
 
-    for ev in sorted(events, key=lambda e: e["lsn"]):
+    # same-LSN conflicts (corrupt producers) resolve by the engine's
+    # deterministic op rank: delete > update > insert — pre-reduce so the
+    # sequential replay sees one event per (key, lsn)
+    op_rank = {"schema_change": 0, "insert": 1, "update": 2, "delete": 3}
+    by_key_lsn: dict = {}
+    ordered = []
+    for ev in events:
+        if ev["op"] == "schema_change":
+            ordered.append(ev)
+            continue
+        k = (ev["repo"], ev["path"], ev["lsn"])
+        cur = by_key_lsn.get(k)
+        if cur is None or op_rank[ev["op"]] > op_rank[cur["op"]]:
+            by_key_lsn[k] = ev
+    ordered += list(by_key_lsn.values())
+
+    for ev in sorted(ordered, key=lambda e: e["lsn"]):
         op = ev["op"]
         if op == "schema_change":
             sc = ev["schema_change"]
