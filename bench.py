@@ -78,6 +78,28 @@ def main():
     timings["cdc_replay_full_engine"] = round(elapsed, 3)
     events_per_sec = round(n_events / elapsed, 1)
 
+    # second throughput point: seeded generator log with realistic ~1KB
+    # source-file contents, one sustained micro-batch (amortized regime)
+    from translator_ingests_spark.cdc.generator import generate_event_log
+
+    root2 = tempfile.mkdtemp(prefix="bench_gen_")
+    try:
+        glog = generate_event_log(
+            spark, 500_000, seed=42, n_repos=500, n_mega_repos=2,
+            hot_fraction=0.3, paths_per_repo=200, content_repeat=16,
+            n_spark_partitions=cpus * 2,
+        ).persist()
+        gn = glog.count()
+        eng2 = CdcEngine(spark, root2, num_buckets=32, use_arrow_normalize=False)
+        t0 = time.monotonic()
+        eng2.apply_log(glog, n_batches=1, total_events=gn)
+        gen_elapsed = time.monotonic() - t0
+        glog.unpersist()
+    finally:
+        shutil.rmtree(root2, ignore_errors=True)
+    gen_eps = round(gn / gen_elapsed, 1)
+    timings["cdc_apply_generator_500k_1kb"] = round(gen_elapsed, 3)
+
     print(
         json.dumps(
             {
@@ -86,6 +108,7 @@ def main():
                 "unit": "events/sec",
                 "elapsed_sec": round(elapsed, 3),
                 "n_events": n_events,
+                "generator_events_per_sec": gen_eps,
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cpus": cpus,
