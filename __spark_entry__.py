@@ -37,10 +37,11 @@ def _registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str
             dedup,
             reference_shapes,
             similarity,
+            temporal,
             text,
         )
 
-        for mod in (analytics, dedup, reference_shapes, similarity, text):
+        for mod in (analytics, dedup, reference_shapes, similarity, temporal, text):
             reg.update(mod.QUERIES)
     except ImportError:
         pass
