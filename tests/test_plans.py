@@ -85,6 +85,6 @@ def test_no_collect_in_operator_sources():
     for path in glob.glob(f"{root}/operators/*.py"):
         src = open(path).read()
         for i, line in enumerate(src.splitlines(), 1):
-            if ".collect()" in line and "rows = " not in line:
+            if ".collect()" in line:
                 offenders.append(f"{os.path.basename(path)}:{i}")
     assert not offenders, offenders

@@ -98,6 +98,7 @@ class CdcEngine:
         hot_key_threshold: int = 50_000,
         hot_sample_fraction: float = 0.05,
         salt_buckets: int = 32,
+        auto_compact_every: int | None = None,
     ):
         self.spark = spark
         self.root = root
@@ -106,9 +107,17 @@ class CdcEngine:
         self.hot_key_threshold = hot_key_threshold
         self.hot_sample_fraction = hot_sample_fraction
         self.salt_buckets = salt_buckets
+        # tombstone-retention policy: every K committed units, fold out
+        # tombstones at or below the low watermark (safe: merge rejects
+        # events at/below the watermark, so compacted deletes can't resurrect)
+        self.auto_compact_every = auto_compact_every
         self.code_hash = compute_code_hash()
         self.table = LakeTable(spark, os.path.join(root, "lake"))
         self._ckpt_dir = os.path.join(root, "ckpt")
+        # delivery order of the current apply run — recorded per manifest so
+        # the validation job knows whether per-partition offset *ranges* are
+        # disjoint (in-order) or legitimately interleaved (scatter)
+        self._delivery = "in_order"
 
     # -- lifecycle -----------------------------------------------------------
     def init_table(self) -> None:
@@ -154,6 +163,7 @@ class CdcEngine:
         if n_batches is None:
             assert events_per_batch, "need events_per_batch or n_batches"
             n_batches = max(1, -(-total // events_per_batch))
+        self._delivery = "scatter" if scatter_delivery else "in_order"
         if scatter_delivery:
             batch_idx = F.pmod(F.xxhash64(F.lit("batch"), F.col("lsn")), F.lit(n_batches))
         else:
@@ -206,6 +216,13 @@ class CdcEngine:
                     if m is not None:
                         manifests.append(m)
                         consumed = min(total, consumed + m["metrics"]["events_in"])
+                        if (
+                            self.auto_compact_every
+                            and len(manifests) % self.auto_compact_every == 0
+                        ):
+                            from translator_ingests_spark.lake.maintenance import compact
+
+                            compact(self.table, drop_tombstones=True)
                     unit_id += 1
                     if max_units is not None and unit_id >= max_units:
                         if not already_cached:
@@ -225,11 +242,20 @@ class CdcEngine:
         return manifests
 
     # -- one committed unit ----------------------------------------------------
-    def _apply_data_unit(self, data: DataFrame, unit_id: int, lag_events: int) -> dict | None:
+    def _apply_data_unit(
+        self, data: DataFrame, unit_id: int, lag_events: int | None
+    ) -> dict | None:
         snap = self.table.current()
         if snap.last_batch_id >= unit_id:
-            # already committed by a previous (crashed) run — exactly-once skip
-            return self._read_ckpt(unit_id)
+            # already committed by a previous (crashed) run — exactly-once skip.
+            # A crash BETWEEN the lake commit and _write_ckpt would otherwise
+            # lose this unit's manifest forever (the skip path never rewrote
+            # it): rebuild it from the committed snapshot, which carries the
+            # batch's lineage/metrics/code-hash.
+            ckpt = self._read_ckpt(unit_id)
+            if ckpt is None:
+                ckpt = self._rebuild_ckpt_from_snapshot(unit_id)
+            return ckpt
 
         t0 = time.monotonic()
         # NOTE: no extra persist here — `data` is a cheap filter over the
@@ -309,6 +335,13 @@ class CdcEngine:
                 metrics=metrics,
                 code_hash=self.code_hash,
                 stats_out=merge_stats,
+                # in-order delivery: once this unit commits, every LSN at or
+                # below its max is applied (earlier batches hold only lower
+                # LSNs) — the retention watermark for tombstone compaction.
+                # Scatter delivery gives no such guarantee: watermark holds.
+                advance_watermark_to=(
+                    lsn_max if self._delivery == "in_order" else None
+                ),
             )
             elapsed = max(time.monotonic() - t0, 1e-9)
             n_red = merge_stats.get("rows", 0)
@@ -319,11 +352,14 @@ class CdcEngine:
                     "rows_deleted": int(n_del),
                     "dups_dropped": int(n_valid - n_red),
                     "events_per_sec": round(events_in / elapsed, 2),
-                    "lag_events": int(lag_events - events_in),
+                    "lag_events": (
+                        None if lag_events is None else int(lag_events - events_in)
+                    ),
                 }
             )
             manifest = {
                 "batch_id": unit_id,
+                "delivery": self._delivery,
                 "applied_lsn_min": lsn_min,
                 "applied_lsn_max": lsn_max,
                 "source_offsets": {str(d["partition"]): d["offset_max"] for d in lineage},
@@ -340,23 +376,33 @@ class CdcEngine:
     def _derive_columns(self, reduced: DataFrame, snap) -> DataFrame:
         """Align the reduced batch to the current lake schema: normalized
         content, JVM-side sha256 digest, and evolution-added columns filled
-        from the event's ``extras`` map (cast to the column's type)."""
+        from the event's ``extras`` map (cast to the column's type).
+
+        Base columns resolve by *field id* (their original schema-v1 name is
+        the event column), so a rename_column on e.g. ``lang`` keeps feeding
+        the renamed lake column from the event's fixed ``lang`` field."""
         is_data = F.col("op") != "delete"
         norm = F.when(
             is_data, normalize_content(F.col("content"), self.use_arrow_normalize)
         )
-        cols = [
-            F.col("repo"),
-            F.col("path"),
-            F.col("commit"),
-            F.col("lang"),
-            norm.alias("content"),
-            F.when(is_data, content_digest(norm)).alias("content_sha256"),
-        ]
-        base_names = {"repo", "path", "commit", "lang", "content", "content_sha256", "last_lsn"}
+        # original (schema v1) name per field id — the event-facing name
+        origin_name = {f.field_id: f.name for f in snap.schemas[1].fields}
+        base_exprs = {
+            "repo": F.col("repo"),
+            "path": F.col("path"),
+            "commit": F.col("commit"),
+            "lang": F.col("lang"),
+            "content": norm,
+            "content_sha256": F.when(is_data, content_digest(norm)),
+        }
+        cols = []
         has_extras = "extras" in reduced.columns
         for fld in snap.schema.fields:
-            if fld.name in base_names:
+            origin = origin_name.get(fld.field_id)
+            if origin == "last_lsn":
+                continue  # written by merge from the event lsn
+            if origin in base_exprs:
+                cols.append(base_exprs[origin].alias(fld.name))
                 continue
             if has_extras:
                 # resolve by any historical name (renames), gated so events
@@ -378,6 +424,37 @@ class CdcEngine:
             # for not-yet-added columns survive out-of-order schema evolution
             cols.append(F.when(is_data, F.col("extras")).alias("extras"))
         return reduced.select(*cols)
+
+    def _rebuild_ckpt_from_snapshot(self, unit_id: int) -> dict | None:
+        """Recover a checkpoint manifest lost to a crash between the lake
+        commit and the manifest write: the committed snapshot for the batch
+        stores everything the manifest needs (lineage, metrics, code hash),
+        so the rebuild is deterministic. Returns None if the batch produced
+        no snapshot (empty unit)."""
+        for v in reversed(self.table.history()):
+            s = self.table.snapshot_at(v)
+            if s.batch_id == unit_id:
+                lineage = s.lineage or []
+                lsn_mins = [d["lsn_min"] for d in lineage if d.get("lsn_min") is not None]
+                lsn_maxs = [d["lsn_max"] for d in lineage if d.get("lsn_max") is not None]
+                manifest = {
+                    "batch_id": unit_id,
+                    "applied_lsn_min": min(lsn_mins) if lsn_mins else None,
+                    "applied_lsn_max": max(lsn_maxs) if lsn_maxs else None,
+                    "source_offsets": {
+                        str(d["partition"]): d["offset_max"] for d in lineage
+                    },
+                    "code_hash": s.code_hash,
+                    "snapshot_id": s.version,
+                    "per_partition_lineage": lineage,
+                    "metrics": s.metrics or {},
+                    "recovered": True,
+                }
+                self._write_ckpt(unit_id, manifest)
+                return manifest
+            if s.last_batch_id < unit_id:
+                break
+        return None
 
     # -- checkpoint manifests ---------------------------------------------------
     def _ckpt_path(self, unit_id: int) -> str:

@@ -50,14 +50,24 @@ def validate_engine_state(engine: CdcEngine) -> dict:
         "rows_outside_applied_lsn": 0,
     }
 
-    # lineage: per source partition, offset ranges across batches must not
-    # overlap (each offset consumed exactly once)
+    # lineage: per source partition, offset *ranges* across batches must not
+    # overlap — valid only for in-order delivery, where each batch consumes a
+    # contiguous offset window. Under scatter delivery each batch holds an
+    # arbitrary offset subset, so spans legitimately interleave: those
+    # batches are excluded from the range check (their exactly-once property
+    # is enforced by the batch-id replay guard, covered by the redelivery
+    # scenario tests) and surfaced in ``scatter_batches``.
     by_partition: dict = {}
+    report["scatter_batches"] = 0
     for m in manifests:
+        in_order = m.get("delivery", "in_order") == "in_order"
+        if not in_order:
+            report["scatter_batches"] += 1
         for d in m["per_partition_lineage"]:
-            by_partition.setdefault(d["partition"], []).append(
-                (d["offset_min"], d["offset_max"], d["rows"])
-            )
+            if in_order:
+                by_partition.setdefault(d["partition"], []).append(
+                    (d["offset_min"], d["offset_max"], d["rows"])
+                )
         ev_in = m["metrics"]["events_in"]
         lineage_rows = sum(d["rows"] for d in m["per_partition_lineage"])
         if lineage_rows + m["metrics"].get("invalid_events", 0) != ev_in:

@@ -54,19 +54,28 @@ def expire_snapshots(table: LakeTable, keep_last: int = 2) -> dict:
 
 
 def compact(table: LakeTable, target_files: int | None = None,
-            drop_tombstones: bool = False) -> Snapshot:
+            drop_tombstones: bool = False, force: bool = False) -> Snapshot:
     """Rewrite the table's data files into ~target_files range-partitioned
     files. With ``drop_tombstones`` the retained delete markers are folded
-    out — only safe once no out-of-order events older than the tombstones
-    can still arrive (a retention watermark decision the caller owns)."""
+    out — **watermark-gated**: only tombstones with ``last_lsn`` at or below
+    the snapshot's ``low_watermark`` are dropped, because the merge path
+    rejects any future event at or below the watermark, so a dropped
+    tombstone can never be resurrected by a redelivered stale update.
+    Tombstones above the watermark (still-contested LSN territory) are kept.
+    ``force=True`` drops ALL tombstones regardless — only for callers that
+    own an external retention guarantee."""
     snap = table.current()
     df = table._read_files(snap, snap.files, raw=True)
-    if not drop_tombstones:
-        pass
-    else:
+    if drop_tombstones:
         from translator_ingests_spark.lake.table import TOMBSTONE_COL
 
-        df = df.filter(~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)))
+        is_tomb = F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))
+        if force:
+            df = df.filter(~is_tomb)
+        else:
+            df = df.filter(
+                ~is_tomb | (F.col(snap.lsn_col) > F.lit(snap.low_watermark))
+            )
     df = df.withColumn(
         "__bucket", table._bucket_expr(snap.num_buckets, snap.key_cols)
     )
@@ -104,6 +113,8 @@ def compact(table: LakeTable, target_files: int | None = None,
         files=new_files,
         code_hash=snap.code_hash,
         added_lsn=snap.added_lsn,
+        low_watermark=snap.low_watermark,
+        operation="compact",
     )
     table._commit_snapshot(new_snap)
     return new_snap

@@ -134,6 +134,14 @@ class Snapshot:
     # field_id -> LSN of the schema-change event that added the column
     # (engine uses this to gate column fill for events older than the add)
     added_lsn: dict[int, int] = field(default_factory=dict)
+    # exactly-once retention watermark: the largest LSN L such that every
+    # event with lsn <= L is KNOWN applied. Merge drops source events at or
+    # below it (known duplicates), which is what makes folding out tombstones
+    # with last_lsn <= L safe — a redelivered stale update can never
+    # resurrect a compacted-away delete.
+    low_watermark: int = -1
+    # what produced this snapshot: create | merge | schema | compact
+    operation: str = "merge"
 
     def to_json(self) -> dict:
         return {
@@ -151,6 +159,8 @@ class Snapshot:
             "metrics": self.metrics,
             "code_hash": self.code_hash,
             "added_lsn": {str(k): v for k, v in self.added_lsn.items()},
+            "low_watermark": self.low_watermark,
+            "operation": self.operation,
         }
 
     @classmethod
@@ -170,6 +180,8 @@ class Snapshot:
             metrics=d.get("metrics"),
             code_hash=d.get("code_hash"),
             added_lsn={int(k): v for k, v in d.get("added_lsn", {}).items()},
+            low_watermark=d.get("low_watermark", -1),
+            operation=d.get("operation", "merge"),
         )
 
     def name_history(self, field_id: int) -> list[str]:
@@ -276,6 +288,7 @@ class LakeTable:
             key_cols=key_cols,
             lsn_col=lsn_col,
             files=[],
+            operation="create",
         )
         table._commit_snapshot(snap)
         return table
@@ -382,6 +395,14 @@ class LakeTable:
         snap = self.current()
         return self._read_files(snap, snap.files)
 
+    def read_raw(self) -> DataFrame:
+        """Current state INCLUDING tombstone rows (and the implicit
+        ``__tombstone``/``__extras`` columns) — the representation a
+        CDC-faithful cross-table merge needs: a delete in one source must
+        out-rank an older update for the same key in another source."""
+        snap = self.current()
+        return self._read_files(snap, snap.files, raw=True)
+
     @staticmethod
     def _files_overlapping(snap: Snapshot, buckets: list[int]) -> list[dict]:
         """Manifest-level file pruning: files whose bucket range intersects
@@ -427,6 +448,14 @@ class LakeTable:
                 if new_name in names:
                     return snap  # already renamed (replay)
                 raise KeyError(f"no column {column!r}")
+            if new_name in names:
+                raise ValueError(
+                    f"rename {column!r} -> {new_name!r} collides with an existing column"
+                )
+            if column in snap.key_cols or column == snap.lsn_col:
+                raise ValueError(
+                    f"cannot rename engine column {column!r} (key/lsn columns are fixed)"
+                )
             old = names[column]
             fields[fields.index(old)] = LakeField(old.field_id, new_name, old.type)
         elif kind == "widen_type":
@@ -457,6 +486,8 @@ class LakeTable:
             files=snap.files,
             code_hash=snap.code_hash,
             added_lsn=added_lsn,
+            low_watermark=snap.low_watermark,
+            operation="schema",
         )
         self._commit_snapshot(new_snap)
         return new_snap
@@ -473,6 +504,7 @@ class LakeTable:
         metrics: dict | None = None,
         code_hash: str | None = None,
         stats_out: dict | None = None,
+        advance_watermark_to: int | None = None,
     ) -> Snapshot:
         """Idempotent last-writer-wins MERGE of a pre-reduced batch.
 
@@ -504,6 +536,12 @@ class LakeTable:
         lsn_target = snap.lsn_col
         value_cols = [n for n in snap.schema.names() if n not in keys and n != lsn_target]
 
+        # retention-watermark guard: events at or below the low watermark are
+        # KNOWN applied (possibly compacted away, tombstones included) — drop
+        # them here so redelivered stale events can't resurrect compacted keys
+        if snap.low_watermark >= 0:
+            source = source.filter(F.col(lsn_col) > F.lit(snap.low_watermark))
+
         src = source.withColumn("__bucket", self._bucket_expr(snap.num_buckets, keys))
         src = src.persist()
         # affected buckets: tiny driver-side list (≤ num_buckets), this is the
@@ -519,16 +557,27 @@ class LakeTable:
             .collect()
         )
         affected = sorted(r["__bucket"] for r in bucket_rows)
+        n_rows = sum(r["n"] for r in bucket_rows)
+        n_del = sum(r["n_del"] for r in bucket_rows)
         if stats_out is not None:
-            stats_out["rows"] = sum(r["n"] for r in bucket_rows)
-            stats_out["deletes"] = sum(r["n_del"] for r in bucket_rows)
+            stats_out["rows"] = n_rows
+            stats_out["deletes"] = n_del
             stats_out["affected_buckets"] = len(affected)
+        # enrich the snapshot's metrics with the merge counts so a manifest
+        # lost to a crash after this commit can be rebuilt from the snapshot
+        if metrics is not None:
+            metrics = {
+                **metrics,
+                "rows_upserted": int(n_rows - n_del),
+                "rows_deleted": int(n_del),
+            }
 
         # file pruning: only files whose bucket range intersects the batch
         # are read and rewritten; their rows in *other* buckets pass through
         # the merge untouched (target-only rows survive by construction)
         affected_files = self._files_overlapping(snap, affected)
-        untouched_files = [f for f in snap.files if f not in affected_files]
+        affected_paths = {f["path"] for f in affected_files}
+        untouched_files = [f for f in snap.files if f["path"] not in affected_paths]
         tgt = self._read_files(snap, affected_files, raw=True)
 
         extras_map_t = T.MapType(T.StringType(), T.StringType())
@@ -654,6 +703,11 @@ class LakeTable:
             metrics=metrics,
             code_hash=code_hash,
             added_lsn=snap.added_lsn,
+            low_watermark=max(
+                snap.low_watermark,
+                advance_watermark_to if advance_watermark_to is not None else -1,
+            ),
+            operation="merge",
         )
         self._commit_snapshot(new_snap)
         return new_snap

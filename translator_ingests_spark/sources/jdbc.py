@@ -28,29 +28,37 @@ def jdbc_reader(
 
     With partition bounds, Spark issues ``num_partitions`` range-predicated
     queries concurrently — the distributed replacement for the reference's
-    single-cursor SELECT loops."""
-    reader = (
-        spark.read.format("jdbc")
-        .option("url", url)
-        .option("query", query)
-        .option("fetchsize", str(fetchsize))
+    single-cursor SELECT loops.
+
+    Spark rejects ``query`` combined with ``partitionColumn`` (JDBCOptions:
+    "Options 'query' and 'partitionColumn' can not be specified together"),
+    so the partitioned path wraps the SQL as a ``dbtable`` subquery; the
+    partition column must match a column of the subquery's output schema
+    (Spark validates it against the resolved relation, unqualified)."""
+    reader = spark.read.format("jdbc").option("url", url).option(
+        "fetchsize", str(fetchsize)
     )
     spec = {"url": url, "query": query, "fetchsize": fetchsize}
     if partition_column is not None:
         if lower_bound is None or upper_bound is None or num_partitions is None:
             raise ValueError("partitioned JDBC scan needs lower/upper bounds and num_partitions")
+        dbtable = f"({query}) spark_jdbc_subq"
         reader = (
-            reader.option("partitionColumn", partition_column)
+            reader.option("dbtable", dbtable)
+            .option("partitionColumn", partition_column)
             .option("lowerBound", str(lower_bound))
             .option("upperBound", str(upper_bound))
             .option("numPartitions", str(num_partitions))
         )
         spec.update(
+            dbtable=dbtable,
             partitionColumn=partition_column,
             lowerBound=lower_bound,
             upperBound=upper_bound,
             numPartitions=num_partitions,
         )
+    else:
+        reader = reader.option("query", query)
     for k, v in (properties or {}).items():
         reader = reader.option(k, v)
         spec[k] = v

@@ -46,6 +46,11 @@ class CdcStream:
 
         engine = self.engine
         engine.init_table()
+        # file-stream epochs carry no cross-epoch LSN-order guarantee, so the
+        # retention watermark must NOT advance (a wrongly-advanced watermark
+        # makes merge drop valid late events); offset-range disjointness is
+        # likewise not assumed by the validator for stream batches
+        engine._delivery = "stream"
         batch = batch.persist()
         try:
             schema_rows = (
@@ -71,7 +76,10 @@ class CdcStream:
                     sub = sub.filter(F.col("lsn") > lo)
                 if hi is not None:
                     sub = sub.filter(F.col("lsn") < hi)
-                m = engine._apply_data_unit(sub, unit_id, lag_events=0)
+                # lag is unknowable on the streaming path (no total backlog
+                # count without draining the source) — record null, not a
+                # misleading negative number
+                m = engine._apply_data_unit(sub, unit_id, lag_events=None)
                 if m is not None:
                     self.manifests.append(m)
                 unit_id += 1
