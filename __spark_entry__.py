@@ -35,13 +35,24 @@ def _registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str
         from translator_ingests_spark.operators import (
             analytics,
             dedup,
+            merge_queries,
+            normalize,
             reference_shapes,
             similarity,
             temporal,
             text,
         )
 
-        for mod in (analytics, dedup, reference_shapes, similarity, temporal, text):
+        for mod in (
+            analytics,
+            dedup,
+            merge_queries,
+            normalize,
+            reference_shapes,
+            similarity,
+            temporal,
+            text,
+        ):
             reg.update(mod.QUERIES)
     except ImportError:
         pass

@@ -1,0 +1,86 @@
+"""Skew safety of the shingle-based dedup operators: one stop-shingle shared
+by 50% of documents must NOT explode the candidate self-join quadratically.
+The document-frequency cap (dedup._DF_CAP) excludes such shingles from the
+similarity computation entirely — here we prove the candidate count stays
+bounded and the operator output is unaffected for genuinely-similar pairs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from translator_ingests_spark.operators import dedup
+
+N_DOCS = 200
+STOP_TAIL = " the quick brown fox jumps over the lazy dog tail"
+
+
+@pytest.fixture(scope="module")
+def skew_dir(spark, tmp_path_factory):
+    """documents.parquet where every even doc carries the same tail phrase
+    (document frequency = 100 > _DF_CAP = 64) plus two true near-dups."""
+    root = tmp_path_factory.mktemp("skew")
+    rows = []
+    for i in range(N_DOCS):
+        body = f"unique text alpha{i} beta{i} gamma{i} delta{i} epsilon{i} zeta{i}"
+        if i % 2 == 0:
+            body += STOP_TAIL
+        rows.append((i, body))
+    # two true near-dups sharing most (rare) shingles
+    rows.append((N_DOCS, "shared rare phrase one two three four five six seven"))
+    rows.append((N_DOCS + 1, "shared rare phrase one two three four five six eight"))
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(f"{root}/documents.parquet")
+    return str(root)
+
+
+def test_stop_shingles_excluded(spark, skew_dir):
+    docs = spark.read.parquet(f"{skew_dir}/documents.parquet")
+    kept = dedup._capped_shingles(docs)
+    max_df = (
+        kept.groupBy("shingle").count().agg(F.max("count").alias("m")).collect()[0]["m"]
+    )
+    assert max_df <= dedup._DF_CAP
+
+
+def test_candidate_count_bounded_under_skew(spark, skew_dir):
+    """The candidate self-join over capped shingles must stay near-linear:
+    without the cap the stop-tail shingles alone contribute ~100*99/2 * 8
+    shingle-pairs; with it, candidates are only the true near-dup pair and
+    same-family stragglers."""
+    docs = spark.read.parquet(f"{skew_dir}/documents.parquet")
+    sh = dedup._capped_shingles(docs)
+    a, b = sh.alias("a"), sh.alias("b")
+    n_cand = a.join(
+        b,
+        (F.col("a.shingle") == F.col("b.shingle"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).count()
+    # uncapped, the stop tail alone would generate > 39,000 joined rows
+    assert n_cand < 500
+
+
+def test_jaccard_output_still_finds_true_neardups(spark, skew_dir):
+    out = dedup.dedup_ngram_jaccard(spark, skew_dir).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in out}
+    assert (N_DOCS, N_DOCS + 1) in pairs
+    # no pair is produced by the stop tail: all even-doc pairs share ONLY
+    # capped-out shingles and unique text otherwise
+    assert all(da >= N_DOCS for da, _ in pairs)
+
+
+def test_jaccard_oracle_parity_on_skewed_fixture(spark, skew_dir):
+    """The DuckDB oracle (with the same DF cap) agrees on the skewed data."""
+    duckdb = pytest.importorskip("duckdb")
+    con = duckdb.connect()
+    # Spark writes a parquet *directory* — glob its part files for DuckDB
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{skew_dir}/documents.parquet/*.parquet')"
+    )
+    oracle = con.sql(dedup.DEDUP_NGRAM_JACCARD_SQL).fetchall()
+    spark_rows = [
+        (r["doc_a"], r["doc_b"], float(r["jaccard"]))
+        for r in dedup.dedup_ngram_jaccard(spark, skew_dir).collect()
+    ]
+    oracle_rows = [(a, b, float(j)) for a, b, j in oracle]
+    assert sorted(spark_rows) == sorted(oracle_rows)

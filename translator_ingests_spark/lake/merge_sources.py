@@ -1,0 +1,150 @@
+"""Multi-source merge job — the reference's second entry point
+(/root/reference/src/translator_ingest/merging.py:170-315): N per-source
+lake tables merge into one, gated on version consistency across sources
+(merging.py:233-243), stamped with an md5-of-sorted-build-versions release
+version (merging.py:255), and skipped early when the release is already
+current (merging.py:273-275).
+
+CDC-faithful semantics: sources are merged from their **raw** states
+(tombstones included), then globally last-writer-wins-reduced per key — a
+delete in one source must out-rank an older update for the same key in
+another source, exactly as if the union of the sources' logs had been
+replayed into a single table.
+
+Scale shape: one union (no shuffle), one map-side-combinable max_by
+aggregation on the key, then the lake's bucket-pruned MERGE — the same plan
+a single-source apply uses, so the merged write is O(union), never O(N·table).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import MapType
+
+from translator_ingests_spark.lake.table import (
+    EXTRAS_COL,
+    TOMBSTONE_COL,
+    LakeTable,
+)
+
+
+class VersionConsistencyError(RuntimeError):
+    """Sources were built with inconsistent component versions — merging
+    them would mix incompatible builds (reference gate: merging.py:233-243)."""
+
+
+def release_version(build_versions: list[str]) -> str:
+    """md5 over the sorted per-source build versions — identical input
+    builds ⇒ identical release version, any change ⇒ new one
+    (reference: merging.py:255)."""
+    return hashlib.md5("|".join(sorted(build_versions)).encode()).hexdigest()
+
+
+def merge_lakes(
+    spark: SparkSession,
+    sources: list[LakeTable],
+    out_root: str,
+    require_consistent: bool = True,
+) -> tuple[LakeTable, dict]:
+    """Merge N source lake tables into one at ``out_root``.
+
+    Returns ``(merged_table, info)`` where info carries the release version
+    and whether the merge was skipped as already-current.
+    """
+    if not sources:
+        raise ValueError("need at least one source table")
+    snaps = [t.current() for t in sources]
+
+    if require_consistent:
+        codes = {s.code_hash for s in snaps}
+        if len(codes) > 1:
+            raise VersionConsistencyError(
+                f"sources built with inconsistent code versions: {sorted(map(str, codes))}"
+            )
+        shapes = {
+            (
+                tuple((f.field_id, f.name, f.type) for f in s.schema.fields),
+                tuple(s.key_cols),
+                s.lsn_col,
+                s.num_buckets,
+            )
+            for s in snaps
+        }
+        if len(shapes) > 1:
+            raise VersionConsistencyError(
+                "sources have divergent schemas/keys/bucketing — re-build before merging"
+            )
+
+    builds = sorted(f"{s.code_hash or 'none'}:{s.version}" for s in snaps)
+    rel_ver = release_version(builds)
+    ref = snaps[0]
+
+    out = LakeTable(spark, out_root)
+    if out.exists():
+        cur = out.current()
+        if (cur.metrics or {}).get("release_version") == rel_ver:
+            return out, {"release_version": rel_ver, "skipped": True}
+
+    if not out.exists():
+        LakeTable.create(
+            spark,
+            out_root,
+            ref.schema,
+            key_cols=ref.key_cols,
+            lsn_col=ref.lsn_col,
+            num_buckets=ref.num_buckets,
+            added_lsn=ref.added_lsn,
+        )
+        out = LakeTable(spark, out_root)
+
+    # union raw states — includes tombstones; LWW reduction happens in ONE
+    # map-side-combinable max_by aggregation keyed on the table key
+    union = sources[0].read_raw()
+    for t in sources[1:]:
+        union = union.unionByName(t.read_raw())
+
+    keys = ref.key_cols
+    lsn = ref.lsn_col
+    cols = union.columns
+    hashable = [
+        f.name
+        for f in union.schema.fields
+        if f.name != lsn and not isinstance(f.dataType, MapType)
+    ]
+    payload = F.struct(*[F.col(c) for c in cols])
+    order = F.struct(
+        F.col(lsn).alias("o1"),
+        # deterministic tie-break when two sources carry the same key at the
+        # same LSN (duplicate delivery across sources)
+        F.xxhash64(*[F.col(c) for c in hashable]).alias("o2"),
+    )
+    reduced = (
+        union.groupBy(*keys)
+        .agg(F.max_by(payload, order).alias("__row"))
+        .select(*[F.col(f"__row.{c}").alias(c) for c in cols])
+    )
+
+    source_df = reduced.select(
+        *[F.col(c) for c in cols if c not in (TOMBSTONE_COL, EXTRAS_COL, lsn)],
+        F.when(F.col(TOMBSTONE_COL), F.lit("delete"))
+        .otherwise(F.lit("insert"))
+        .alias("op"),
+        F.col(lsn).alias("lsn"),
+        F.col(EXTRAS_COL).alias("extras"),
+    )
+
+    batch_id = out.current().last_batch_id + 1
+    watermarks = [s.low_watermark for s in snaps]
+    out.merge(
+        source_df,
+        batch_id=batch_id,
+        lineage={"sources": [t.root for t in sources], "builds": builds},
+        metrics={"release_version": rel_ver, "n_sources": len(sources)},
+        code_hash=ref.code_hash,
+        # the merged table may safely claim only what EVERY source guarantees
+        advance_watermark_to=min(watermarks) if watermarks else None,
+    )
+    return out, {"release_version": rel_ver, "skipped": False}

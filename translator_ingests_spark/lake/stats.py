@@ -1,0 +1,78 @@
+"""Graph-metadata artifact job — the reference writes a per-build stats
+artifact alongside every release (`graph-metadata.json` / meta-KG:
+/root/reference/src/translator_ingest/pipeline.py:501-588, output shape
+/root/reference/src/translator_ingest/ingests/string/meta.json:67-101):
+row totals, per-category histograms, id-prefix cards. Here the analog over
+the lake table's visible state: row count, per-lang histogram, repo-prefix
+cards and content-size totals — computed in ONE aggregation job each and
+persisted as a JSON artifact stamped with the snapshot it describes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from translator_ingests_spark.lake.table import LakeTable
+
+
+def per_lang_stats(state: DataFrame) -> DataFrame:
+    """Per-lang histogram over a table state: rows, distinct repos, content
+    volume — the per-predicate/per-category counts analog."""
+    return (
+        state.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("repo").alias("n_repos"),
+            F.sum(F.length("content")).alias("content_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+def repo_prefix_cards(state: DataFrame, sep: str = "/") -> DataFrame:
+    """Id-prefix cardinalities (meta.json's curie-prefix cards analog):
+    group repos by their org prefix."""
+    prefix = F.substring_index(F.col("repo"), sep, 1).alias("repo_prefix")
+    return (
+        state.groupBy(prefix)
+        .agg(
+            F.countDistinct("repo").alias("n_repos"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("repo_prefix")
+    )
+
+
+def write_graph_metadata(table: LakeTable, out_path: str) -> dict:
+    """Compute and atomically publish the stats artifact for the CURRENT
+    snapshot. All heavy lifting is two aggregation jobs whose results are
+    O(langs + prefixes) — never O(rows) — so the driver-side JSON stays tiny."""
+    snap = table.current()
+    state = table.read()
+    totals_row = state.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("repo").alias("n_repos"),
+        F.countDistinct("repo", "path").alias("n_keys"),
+        F.sum(F.length("content")).alias("content_chars"),
+    ).collect()[0]
+    langs = [r.asDict() for r in per_lang_stats(state).collect()]
+    prefixes = [r.asDict() for r in repo_prefix_cards(state).collect()]
+    artifact = {
+        "snapshot_version": snap.version,
+        "schema_version": snap.schema_version,
+        "code_hash": snap.code_hash,
+        "totals": {k: (int(v) if v is not None else 0) for k, v in totals_row.asDict().items()},
+        "per_lang": langs,
+        "repo_prefixes": prefixes,
+    }
+    tmp = f"{out_path}.tmp.{uuid.uuid4().hex}"
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    with open(tmp, "w") as fh:
+        json.dump(artifact, fh, default=str)
+    os.replace(tmp, out_path)
+    return artifact

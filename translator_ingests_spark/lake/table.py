@@ -273,6 +273,7 @@ class LakeTable:
         key_cols: list[str],
         lsn_col: str = "last_lsn",
         num_buckets: int = 16,
+        added_lsn: dict[int, int] | None = None,
     ) -> "LakeTable":
         os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
@@ -284,6 +285,7 @@ class LakeTable:
             last_batch_id=-1,
             schema_version=1,
             schemas={1: schema},
+            added_lsn=dict(added_lsn or {}),
             num_buckets=num_buckets,
             key_cols=key_cols,
             lsn_col=lsn_col,

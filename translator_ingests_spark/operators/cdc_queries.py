@@ -202,9 +202,37 @@ def cdc_manifest_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The graph-metadata artifact's per-lang histogram (reference
+    pipeline.py:501-588, meta.json:67-101) computed over the replayed lake's
+    final state — oracle-checked against the relational recomputation."""
+    from translator_ingests_spark.lake.stats import per_lang_stats
+
+    eng = _replayed_engine(spark, sf_dir)
+    return per_lang_stats(eng.final_state()).select(
+        "lang", "n_rows", "n_repos", "content_chars"
+    )
+
+
+GRAPH_METADATA_SQL = _CDC_LOG_CTE + """
+SELECT lang,
+       count(*) AS n_rows,
+       count(DISTINCT repo) AS n_repos,
+       sum(length(content)) AS content_chars
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+  FROM cdc
+)
+WHERE rn = 1 AND op <> 'delete'
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 QUERIES = {
     "cdc_log_projection": (cdc_log_projection, CDC_LOG_PROJECTION_SQL),
     "cdc_lww_reduce_only": (cdc_lww_reduce_only, CDC_LWW_REDUCE_SQL),
     "cdc_replay_final_state": (cdc_replay_final_state, CDC_REPLAY_SQL),
     "cdc_manifest_metrics": (cdc_manifest_metrics, None),  # rows-only check
+    "graph_metadata_stats": (graph_metadata_stats, GRAPH_METADATA_SQL),
 }

@@ -86,14 +86,52 @@ ORDER BY survivor_doc_id
 """
 
 
+# document-frequency cap: shingles occurring in more than this many documents
+# are "stop shingles" — excluded from the similarity computation entirely
+# (intersections AND sizes, so Jaccard stays well-defined and oracle-matched).
+# One stop-shingle shared by 10^6 docs would otherwise explode the self-join
+# quadratically; with the cap, candidate pairs per shingle are bounded by
+# DF_CAP², so total candidates ≤ n_kept_shingles × DF_CAP².
+_DF_CAP = 64
+
+
+def _capped_shingles(docs) -> DataFrame:
+    """(doc_id, shingle) pairs with stop-shingles (document frequency >
+    _DF_CAP) removed. The stop list is tiny (≤ total_occurrences / DF_CAP
+    entries), so it broadcasts — the exclusion join is map-side."""
+    sh = docs.select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle"))
+    stop = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > _DF_CAP)
+        .select("shingle")
+    )
+    return sh.join(F.broadcast(stop), "shingle", "left_anti")
+
+
+# the same cap in DuckDB: inner-join to the kept-shingle list
+_CAPPED_SH_CTE = f"""
+sh0 AS (
+  SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle
+  FROM documents
+), kept AS (
+  SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= {_DF_CAP}
+), sh AS (
+  SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN kept USING (shingle)
+)
+"""
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by 3-gram shingle Jaccard ≥ 0.5.
+    """Near-dup pairs by 3-gram shingle Jaccard ≥ 0.5 over the DF-capped
+    shingle set.
 
     Candidate generation by shingle co-occurrence (explode + self-join on
     the shingle) — never a doc×doc cross join; at 100 TB the shuffle key is
-    the shingle hash and frequency-capped shingles bound the blowup."""
+    the shingle hash and the document-frequency cap (``_DF_CAP``) bounds the
+    per-shingle blowup to DF_CAP² pairs."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    sh = docs.select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle"))
+    sh = _capped_shingles(docs)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -122,10 +160,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_NGRAM_JACCARD_SQL = f"""
-WITH sh AS (
-  SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle
-  FROM documents
-), sizes AS (
+WITH {_CAPPED_SH_CTE}, sizes AS (
   SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
 ), inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
@@ -155,11 +190,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(docs × bands) and pair blowup is bounded by bucket collisions, which
     is the whole point of LSH vs the Jaccard self-join above."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    # explode shingles ONCE, then compute all 8 min-hashes in one map-side-
-    # combinable aggregation — never re-evaluate the tokenization per seed
-    # (a nested array-transform formulation re-evaluates the shingle
-    # expression per signature row and is ~50× slower)
-    sh = docs.select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle"))
+    # explode shingles ONCE (stop-shingles DF-capped like the Jaccard path —
+    # a universal shingle would otherwise drag every signature toward the
+    # same minima and pile all docs into the same band buckets), then compute
+    # all 8 min-hashes in one map-side-combinable aggregation — never
+    # re-evaluate the tokenization per seed (a nested array-transform
+    # formulation re-evaluates the shingle expression per signature row and
+    # is ~50× slower)
+    sh = _capped_shingles(docs)
     minh = sh.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(str(s)), F.lit("|"), F.col("shingle")))).alias(f"h{s}")
@@ -192,8 +230,8 @@ _BANDS_SQL = ", ".join(
 )
 
 DEDUP_MINHASH_SQL = f"""
-WITH d AS (
-  SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents
+WITH {_CAPPED_SH_CTE}, d AS (
+  SELECT doc_id, list(shingle) AS sh FROM sh GROUP BY doc_id
 ), s AS (
   SELECT doc_id, [{_SIG_SQL}] AS sig FROM d WHERE len(sh) > 0
 ), bands AS (
@@ -211,27 +249,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hex digit b of each distinct token's md5; signature groups are dup
     candidates (single equality-join key — the cheapest LSH)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    toks = F.array_distinct(_tokens(F.col("text")))
-    hashes = F.transform(toks, lambda x: F.md5(x))
-
-    def _vote_fn(b: int):
-        # closure factory: a default-arg lambda would change the visible
-        # arity and break pyspark's higher-order-function binding
-        def merge(acc, h):
-            return acc + F.when(
-                F.substring(h, b + 1, 1).isin("1", "3", "5", "7", "9", "b", "d", "f"),
-                F.lit(1),
-            ).otherwise(F.lit(-1))
-
-        return merge
-
-    bits = []
-    for b in range(16):
-        votes = F.aggregate(hashes, F.lit(0), _vote_fn(b))
-        bits.append(F.when(votes > 0, F.lit("1")).otherwise(F.lit("0")))
-    simhash = F.concat(*bits)
     return (
-        docs.select("doc_id", simhash.alias("simhash16"))
+        docs.select("doc_id", _simhash_col().alias("simhash16"))
         .orderBy("doc_id")
     )
 
@@ -256,9 +275,124 @@ ORDER BY doc_id
 """
 
 
+_HAMMING_K = 3  # max Hamming distance for a near-dup pair
+_N_SIM_BANDS = 4  # 16 bits / 4 bands of 4 — pigeonhole: ham≤3 ⇒ ≥1 equal band
+
+
+def _simhash_col():
+    """The 16-char '0'/'1' SimHash signature as a column expression
+    (shared by dedup_simhash and dedup_simhash_pairs)."""
+    toks = F.array_distinct(_tokens(F.col("text")))
+    hashes = F.transform(toks, lambda x: F.md5(x))
+
+    def _vote_fn(b: int):
+        def merge(acc, h):
+            return acc + F.when(
+                F.substring(h, b + 1, 1).isin("1", "3", "5", "7", "9", "b", "d", "f"),
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+
+        return merge
+
+    bits = []
+    for b in range(16):
+        votes = F.aggregate(hashes, F.lit(0), _vote_fn(b))
+        bits.append(F.when(votes > 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate PAIRS from SimHash: signatures split into 4 bands
+    of 4 bits; by pigeonhole any pair with Hamming distance ≤ 3 shares at
+    least one identical band, so the candidate join keys on (band_idx,
+    band_value) — shuffle ∝ band-bucket collisions, never docs². Candidates
+    are then exact-filtered to Hamming ≤ 3.
+
+    Completes the dedup-set semantics of the reference's seen-pair dedup
+    (/root/reference/src/translator_ingest/ingests/string/string.py:126-139):
+    signatures alone (dedup_simhash) don't give a consumer dup groups."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sigs = docs.select("doc_id", _simhash_col().alias("sig"))
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_idx"),
+                        F.substring("sig", 4 * j + 1, 4).alias("band_val"),
+                    )
+                    for j in range(_N_SIM_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "sig", "band.band_idx", "band.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])  # a pair may share several bands
+    )
+    hamming = sum(
+        F.when(
+            F.substring("sig_a", i + 1, 1) != F.substring("sig_b", i + 1, 1), 1
+        ).otherwise(0)
+        for i in range(16)
+    )
+    return (
+        cand.select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= _HAMMING_K)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_HAMMING_SQL = " + ".join(
+    f"(CASE WHEN substring(a.sig, {i + 1}, 1) <> substring(b.sig, {i + 1}, 1) "
+    "THEN 1 ELSE 0 END)"
+    for i in range(16)
+)
+_BAND_VALS_SQL = ", ".join(
+    f"struct_pack(band_idx := {j}, band_val := substring(sig, {4 * j + 1}, 4))"
+    for j in range(_N_SIM_BANDS)
+)
+
+DEDUP_SIMHASH_PAIRS_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform(list_distinct({_TOKS_SQL}), x -> md5(x)) AS hs
+  FROM documents
+), sigs AS (
+  SELECT doc_id, concat({_BIT_SQL}) AS sig FROM t
+), bands AS (
+  SELECT doc_id, sig, unnest([{_BAND_VALS_SQL}], recursive := true) FROM sigs
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS a_sig, b.sig AS b_sig
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST({_HAMMING_SQL.replace('a.sig', 'a_sig').replace('b.sig', 'b_sig')} AS INT) AS hamming
+FROM cand
+WHERE {_HAMMING_SQL.replace('a.sig', 'a_sig').replace('b.sig', 'b_sig')} <= {_HAMMING_K}
+ORDER BY doc_a, doc_b
+"""
+
+
 QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
+    "dedup_simhash_pairs": (dedup_simhash_pairs, DEDUP_SIMHASH_PAIRS_SQL),
 }

@@ -1,0 +1,220 @@
+"""Normalization-map stage — the reference pipeline's stage 5, which every
+single run performs (/root/reference/src/translator_ingest/normalize.py:26-76):
+rewrite row identifiers to their preferred form via a service-provided map,
+with **strict** mode dropping unnormalizable rows (and their dependents) and
+a **failures side-output**, or **lenient** mode passing unmapped ids through.
+The map artifact (`normalization_map.json` analog) and failures list are
+persisted next to the output (storage shape:
+/root/reference/src/translator_ingest/util/storage/local.py:30-46; mock
+service shape: /root/reference/tests/unit/test_normalization.py:16-52).
+
+Spark-first design: the normalization map is a *dimension* — always joined
+with an explicit ``F.broadcast`` so the fact-side stream never shuffles; at
+100 TB the map (one row per distinct raw id) is the small side by orders of
+magnitude. Strict-mode dependent dropping is a broadcast semi-join on the
+failed-id list (smaller still).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def apply_normalization_map(
+    df: DataFrame,
+    norm_map: DataFrame,
+    id_col: str,
+    strict: bool = True,
+    raw_col: str = "raw_id",
+    preferred_col: str = "preferred_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Rewrite ``df[id_col]`` via ``norm_map(raw_id -> preferred_id)``.
+
+    Returns ``(normalized, failures)``:
+    - a row fails when its id is absent from the map OR maps to NULL
+      (the service's known-unnormalizable marker);
+    - strict: failed rows are dropped from ``normalized`` and appear in
+      ``failures`` (original columns, plus ``failure_reason``);
+    - lenient: failed rows pass through with their original id; ``failures``
+      still lists them (observability without data loss).
+    """
+    m = F.broadcast(norm_map.select(raw_col, preferred_col))
+    joined = df.join(m, df[id_col] == m[raw_col], "left")
+    failed = F.col(preferred_col).isNull()
+    failures = (
+        joined.filter(failed)
+        .select(
+            *[df[c] for c in df.columns],
+            F.when(F.col(raw_col).isNull(), F.lit("not_in_map"))
+            .otherwise(F.lit("unnormalizable"))
+            .alias("failure_reason"),
+        )
+    )
+    if strict:
+        normalized = (
+            joined.filter(~failed)
+            .select(
+                *[
+                    F.col(preferred_col).alias(id_col) if c == id_col else df[c]
+                    for c in df.columns
+                ]
+            )
+        )
+    else:
+        normalized = joined.select(
+            *[
+                F.coalesce(F.col(preferred_col), df[id_col]).alias(id_col)
+                if c == id_col
+                else df[c]
+                for c in df.columns
+            ]
+        )
+    return normalized, failures
+
+
+def drop_dependents(dependents: DataFrame, failures: DataFrame, fk_col: str,
+                    failed_id_col: str) -> DataFrame:
+    """Strict mode's second half: rows referencing a failed id are dropped
+    too (the reference drops edges of unnormalizable nodes). Broadcast
+    anti-join — the failed-id list is tiny."""
+    failed_ids = failures.select(F.col(failed_id_col).alias("__failed_id")).distinct()
+    return dependents.join(
+        F.broadcast(failed_ids),
+        dependents[fk_col] == F.col("__failed_id"),
+        "left_anti",
+    )
+
+
+def write_normalization_artifacts(
+    out_dir: str, norm_map: DataFrame, failures: DataFrame, id_col: str
+) -> dict:
+    """Persist the normalization-map and failures artifacts (Spark-written
+    JSONL — never collected to the driver) plus a small JSON summary, the
+    `normalization_map.json` / failures-list analog."""
+    map_dir = os.path.join(out_dir, "normalization_map")
+    fail_dir = os.path.join(out_dir, "normalization_failures")
+    norm_map.write.mode("overwrite").json(map_dir)
+    failed_ids = failures.select(id_col).distinct()
+    failed_ids.write.mode("overwrite").json(fail_dir)
+    summary = {
+        "map_entries": norm_map.count(),
+        "failed_ids": failed_ids.count(),
+        "map_path": map_dir,
+        "failures_path": fail_dir,
+    }
+    with open(os.path.join(out_dir, "normalization_metadata.json"), "w") as fh:
+        json.dump(summary, fh)
+    return summary
+
+
+# ---------------------------------------------------------------------------
+# Oracle-checked queries: a deterministic normalization map derived from the
+# log's own distinct repos (md5-based, so DuckDB computes the identical map).
+# Repos whose md5 starts with '0' or '1' are "unnormalizable" (~1/8).
+# ---------------------------------------------------------------------------
+
+
+def _norm_map_from(log: DataFrame) -> DataFrame:
+    return (
+        log.select("repo").distinct()
+        .select(
+            F.col("repo").alias("raw_id"),
+            F.when(
+                ~F.substring(F.md5("repo"), 1, 1).isin("0", "1"),
+                F.concat(F.lit("canon:"), F.substring(F.md5("repo"), 1, 8)),
+            ).alias("preferred_id"),
+        )
+    )
+
+
+def _cdc_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from translator_ingests_spark.operators.cdc_queries import events_as_cdc_log
+
+    return events_as_cdc_log(spark, sf_dir).select("lsn", "repo", "path")
+
+
+_NORM_CTE = """
+WITH cdc AS (
+  SELECT event_id AS lsn,
+         concat('org/repo-', CAST(user_id % 37 AS VARCHAR)) AS repo,
+         concat('src/f', CAST(user_id AS VARCHAR), '_',
+                CAST(event_id % 5 AS VARCHAR), '.py') AS path
+  FROM events
+), norm_map AS (
+  SELECT repo AS raw_id,
+         CASE WHEN substring(md5(repo), 1, 1) NOT IN ('0', '1')
+              THEN concat('canon:', substring(md5(repo), 1, 8)) END AS preferred_id
+  FROM (SELECT DISTINCT repo FROM cdc)
+)
+"""
+
+
+def normalize_ids_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict normalization of the change log's repo ids: unnormalizable
+    repos drop their rows entirely (reference strict mode,
+    normalize.py:26-76 + metadata.py:35-36)."""
+    log = _cdc_projection(spark, sf_dir)
+    normalized, _failures = apply_normalization_map(
+        log, _norm_map_from(log), id_col="repo", strict=True
+    )
+    return normalized.select("lsn", "repo", "path").orderBy("lsn")
+
+
+NORMALIZE_STRICT_SQL = _NORM_CTE + """
+SELECT c.lsn, m.preferred_id AS repo, c.path
+FROM cdc c JOIN norm_map m ON c.repo = m.raw_id
+WHERE m.preferred_id IS NOT NULL
+ORDER BY c.lsn
+"""
+
+
+def normalize_ids_lenient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lenient normalization: unmapped ids pass through unchanged — row
+    count is preserved (per-source strict-override flags,
+    reference pipeline.py:43-45)."""
+    log = _cdc_projection(spark, sf_dir)
+    normalized, _failures = apply_normalization_map(
+        log, _norm_map_from(log), id_col="repo", strict=False
+    )
+    return normalized.select("lsn", "repo", "path").orderBy("lsn")
+
+
+NORMALIZE_LENIENT_SQL = _NORM_CTE + """
+SELECT c.lsn, coalesce(m.preferred_id, c.repo) AS repo, c.path
+FROM cdc c LEFT JOIN norm_map m ON c.repo = m.raw_id
+ORDER BY c.lsn
+"""
+
+
+def normalize_failures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The failures side-output, aggregated: failed raw id -> reason and
+    affected-row count (the failures-list artifact's content)."""
+    log = _cdc_projection(spark, sf_dir)
+    _normalized, failures = apply_normalization_map(
+        log, _norm_map_from(log), id_col="repo", strict=True
+    )
+    return (
+        failures.groupBy("repo", "failure_reason")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("repo")
+    )
+
+
+NORMALIZE_FAILURES_SQL = _NORM_CTE + """
+SELECT c.repo, 'unnormalizable' AS failure_reason, count(*) AS n_rows
+FROM cdc c JOIN norm_map m ON c.repo = m.raw_id
+WHERE m.preferred_id IS NULL
+GROUP BY c.repo
+ORDER BY c.repo
+"""
+
+
+QUERIES = {
+    "normalize_ids_strict": (normalize_ids_strict, NORMALIZE_STRICT_SQL),
+    "normalize_ids_lenient": (normalize_ids_lenient, NORMALIZE_LENIENT_SQL),
+    "normalize_failures": (normalize_failures, NORMALIZE_FAILURES_SQL),
+}
