@@ -100,6 +100,36 @@ def main():
     gen_eps = round(gn / gen_elapsed, 1)
     timings["cdc_apply_generator_500k_1kb"] = round(gen_elapsed, 3)
 
+    # third throughput point: key-CLUSTERED update batches against an
+    # already-populated table — the realistic CDC regime (a batch touches a
+    # small active working set, so manifest bucket pruning bounds the COW
+    # rewrite to the touched buckets, not the whole table)
+    root3 = tempfile.mkdtemp(prefix="bench_clu_")
+    try:
+        seed_log = generate_event_log(
+            spark, 200_000, seed=7, n_repos=500, n_mega_repos=2,
+            hot_fraction=0.1, paths_per_repo=200, content_repeat=16,
+            n_spark_partitions=cpus * 2,
+        )
+        eng3 = CdcEngine(spark, root3, num_buckets=256, use_arrow_normalize=False)
+        eng3.apply_log(seed_log, n_batches=1, total_events=200_000)
+        clu_log = generate_event_log(
+            spark, 300_000, seed=8, n_repos=500, n_mega_repos=2,
+            hot_fraction=0.1, paths_per_repo=200, content_repeat=16,
+            key_locality=48, locality_window=100_000,
+            n_spark_partitions=cpus * 2,
+        ).persist()
+        cn = clu_log.count()
+        t0 = time.monotonic()
+        ms = eng3.apply_log(clu_log, n_batches=3, total_events=cn)
+        clu_elapsed = time.monotonic() - t0
+        clu_log.unpersist()
+        _ = ms
+    finally:
+        shutil.rmtree(root3, ignore_errors=True)
+    clu_eps = round(cn / clu_elapsed, 1)
+    timings["cdc_apply_clustered_updates_300k"] = round(clu_elapsed, 3)
+
     print(
         json.dumps(
             {
@@ -109,6 +139,7 @@ def main():
                 "elapsed_sec": round(elapsed, 3),
                 "n_events": n_events,
                 "generator_events_per_sec": gen_eps,
+                "clustered_update_events_per_sec": clu_eps,
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cpus": cpus,

@@ -47,38 +47,54 @@ if "," in spec:
         .config("spark.ui.enabled", "false")
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
-        .config("spark.sql.join.preferSortMergeJoin", "false"))
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # multi-executor locals: don't stall task launch waiting for
+        # block locality on a single-host "cluster"
+        .config("spark.locality.wait", "0"))
     spark = builder.getOrCreate()
 else:
     cores = int(spec)
     spark = get_spark("scaling", cores=cores, shuffle_partitions=cores)
 spark.sparkContext.setLogLevel("ERROR")
 
-if source.replace("x", "").isdigit():
+if source.replace("x", "").replace("loc", "").isdigit():
     from translator_ingests_spark.cdc.generator import generate_event_log
-    n_ev, _, rep = source.partition("x")
+    parts = source.split("x")
+    n_ev = int(parts[0])
+    rep = int(parts[1]) if len(parts) > 1 and parts[1] else 1
+    loc = None
+    for p in parts[2:]:
+        if p.startswith("loc"):
+            loc = int(p[3:])
     log = generate_event_log(
-        spark, int(n_ev), seed=42, n_repos=500, n_mega_repos=2,
+        spark, n_ev, seed=42, n_repos=500, n_mega_repos=2,
         hot_fraction=0.3, paths_per_repo=200, n_spark_partitions=max(cores * 2, 8),
-        content_repeat=int(rep) if rep else 1,
+        content_repeat=rep, key_locality=loc,
     )
 else:
     from translator_ingests_spark.operators.cdc_queries import events_as_cdc_log
     log = events_as_cdc_log(spark, source)
-from pyspark import StorageLevel
-log = log.persist(StorageLevel.DISK_ONLY)
+# materialize the log to PARQUET (shared storage), not an executor-local
+# cache: in production the engine tails a log from shared storage, and in
+# multi-executor mode an executor-pinned cache forces remote block fetches
+# that serialize the whole job (measured 3-4x slowdown at 4 executors)
+log_dir = tempfile.mkdtemp(prefix="scalelog_") + "/log.parquet"
+log.write.mode("overwrite").parquet(log_dir)
+log = spark.read.parquet(log_dir)
 n = log.count()
 
 # warm-up (JVM/codegen) on a small slice into a throwaway table
 root_w = tempfile.mkdtemp(prefix="warm_")
 eng_w = CdcEngine(spark, root_w, num_buckets=32, use_arrow_normalize=False)
-eng_w.apply_log(log.limit(2000), n_batches=1, total_events=2000)
+eng_w.apply_log(log.limit(2000), n_batches=1, total_events=2000, cache_log=False)
 shutil.rmtree(root_w, ignore_errors=True)
 
 root = tempfile.mkdtemp(prefix="scale_")
 eng = CdcEngine(spark, root, num_buckets=64, use_arrow_normalize=False)
 t0 = time.monotonic()
-eng.apply_log(log, n_batches=n_batches, total_events=n)
+# cache_log=False: the log is already parquet on shared storage — rescans
+# hit the OS page cache; a Spark cache would pin blocks per executor
+eng.apply_log(log, n_batches=n_batches, total_events=n, cache_log=False)
 elapsed = time.monotonic() - t0
 shutil.rmtree(root, ignore_errors=True)
 print(json.dumps({"cores": cores, "n_events": n, "elapsed": elapsed,
@@ -138,9 +154,12 @@ def main():
     efficiency = speedup / 4.0
     print(f"speedup {speedup:.2f}x, scaling efficiency {efficiency:.2f}")
 
+    gen_input = source.replace("x", "").replace("loc", "").isdigit()
     src_desc = (
-        f"seeded generator log '{source}', {tn['n_events']} events (seed=42, 2 "
-        f"mega-repos at 30% hot fraction)" if source.replace("x", "").isdigit()
+        f"seeded generator log '{source}', {tn['n_events']} events (seed=42"
+        + (", key-clustered working-set batches"
+           if "loc" in source else ", 2 mega-repos at 30% hot fraction")
+        + ")" if gen_input
         else f"{source} derived log, {tn['n_events']} events"
     )
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)

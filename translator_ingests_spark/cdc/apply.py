@@ -144,6 +144,7 @@ class CdcEngine:
         scatter_delivery: bool = False,
         max_units: int | None = None,
         total_events: int | None = None,
+        cache_log: bool = True,
     ) -> list[dict]:
         """Apply the full event log in micro-batches. Returns the list of
         checkpoint-manifest dicts written (one per committed data sub-batch).
@@ -172,31 +173,47 @@ class CdcEngine:
 
         events = events.withColumn("__batch", batch_idx.cast("long"))
         # cache the batched log once (unless the caller already persisted the
-        # source — double-caching large logs doubles memory pressure)
+        # source — double-caching large logs doubles memory pressure).
+        # ``cache_log=False`` skips the cache entirely: when the log is a
+        # plain parquet scan on shared storage, re-scanning per batch (OS
+        # page cache) beats an executor-pinned Spark cache — in
+        # multi-executor mode cached blocks force remote fetches that
+        # serialize every downstream job (measured 3-4x at 4 executors)
         already_cached = events.storageLevel.useMemory or events.storageLevel.useDisk
-        if not already_cached:
+        if not already_cached and cache_log:
             events = events.persist()
+        else:
+            already_cached = True  # nothing to unpersist on exit
 
         # ONE upfront job: distinct batch indices present (sparse LSN spaces
-        # skip empty batches) + every schema-change event with its batch —
+        # skip empty batches) AND every schema-change event with its batch —
         # schema events are rare, so this is a tiny driver-side list and
-        # saves a per-batch scan
-        head = events.select("__batch", "op", "lsn", "schema_change").filter(
-            (F.col("op") == "schema_change")
+        # saves both a per-batch scan and a second upfront pass
+        meta_rows = (
+            events.groupBy("__batch")
+            .agg(
+                F.collect_list(
+                    F.when(
+                        F.col("op") == "schema_change",
+                        F.struct("lsn", "schema_change"),
+                    )
+                ).alias("sc")
+            )
+            .collect()
         )
         schema_events: dict[int, list] = {}
-        for r in head.collect():
-            schema_events.setdefault(r["__batch"], []).append(r)
-        present = sorted(
-            r["__batch"] for r in events.select("__batch").distinct().collect()
-        )
+        for r in meta_rows:
+            if r["sc"]:
+                schema_events[r["__batch"]] = sorted(r["sc"], key=lambda x: x["lsn"])
+        present = sorted(r["__batch"] for r in meta_rows)
 
         manifests: list[dict] = []
         unit_id = 0
         consumed = 0
         for b in present:
             batch = events.filter(F.col("__batch") == b).drop("__batch")
-            batch = batch.persist()
+            if cache_log:
+                batch = batch.persist()
             try:
                 schema_rows = sorted(schema_events.get(b, []), key=lambda r: r["lsn"])
                 data = batch.filter(F.col("op").isin(*_DATA_OPS))
@@ -212,7 +229,14 @@ class CdcEngine:
                         sub = sub.filter(F.col("lsn") > lo)
                     if hi is not None:
                         sub = sub.filter(F.col("lsn") < hi)
-                    m = self._apply_data_unit(sub, unit_id, lag_events=total - consumed)
+                    m = self._apply_data_unit(
+                        sub,
+                        unit_id,
+                        lag_events=total - consumed,
+                        # drives the skip-hot-key-detection short-circuit for
+                        # small batches (the detector itself is authoritative)
+                        approx_events=max(1, total // max(1, n_batches)),
+                    )
                     if m is not None:
                         manifests.append(m)
                         consumed = min(total, consumed + m["metrics"]["events_in"])
@@ -236,14 +260,19 @@ class CdcEngine:
                         )
                         consumed = min(total, consumed + 1)
             finally:
-                batch.unpersist()
+                if cache_log:
+                    batch.unpersist()
         if not already_cached:
             events.unpersist()
         return manifests
 
     # -- one committed unit ----------------------------------------------------
     def _apply_data_unit(
-        self, data: DataFrame, unit_id: int, lag_events: int | None
+        self,
+        data: DataFrame,
+        unit_id: int,
+        lag_events: int | None,
+        approx_events: int | None = None,
     ) -> dict | None:
         snap = self.table.current()
         if snap.last_batch_id >= unit_id:
@@ -266,24 +295,48 @@ class CdcEngine:
             )
             valid = data.filter(is_valid)
 
-            # ONE aggregation job yields per-partition lineage AND (summed
-            # driver-side) the global validity stats — no separate global pass
-            lineage_rows = (
-                data.groupBy("source_partition")
-                .agg(
-                    F.count(F.lit(1)).alias("events_in"),
-                    F.count(F.when(is_valid, 1)).alias("rows"),
-                    F.min(F.when(is_valid, F.col("source_offset"))).alias("offset_min"),
-                    F.max(F.when(is_valid, F.col("source_offset"))).alias("offset_max"),
-                    F.min(F.when(is_valid, F.col("lsn"))).alias("lsn_min"),
-                    F.max(F.when(is_valid, F.col("lsn"))).alias("lsn_max"),
-                )
-                .collect()
+            # ONE aggregation job yields per-partition lineage, the global
+            # validity stats (summed driver-side) AND the batch's affected
+            # bucket set (collect_set of the key hash — ≤ num_buckets values
+            # per group), which the merge consumes for file pruning without
+            # any job of its own. Hot-key detection — a different grouping —
+            # runs CONCURRENTLY in a driver thread: the per-unit fixed cost
+            # is max(two jobs), not their sum.
+            bucket = self.table._bucket_expr(snap.num_buckets, snap.key_cols)
+            lineage_q = data.groupBy("source_partition").agg(
+                F.count(F.lit(1)).alias("events_in"),
+                F.count(F.when(is_valid, 1)).alias("rows"),
+                F.min(F.when(is_valid, F.col("source_offset"))).alias("offset_min"),
+                F.max(F.when(is_valid, F.col("source_offset"))).alias("offset_max"),
+                F.min(F.when(is_valid, F.col("lsn"))).alias("lsn_min"),
+                F.max(F.when(is_valid, F.col("lsn"))).alias("lsn_max"),
+                F.collect_set(F.when(is_valid, bucket)).alias("buckets"),
             )
+            from concurrent.futures import ThreadPoolExecutor
+
+            run_hot = approx_events is None or approx_events >= self.hot_key_threshold
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                fut_lineage = pool.submit(lineage_q.collect)
+                fut_hot = (
+                    pool.submit(
+                        detect_hot_keys,
+                        valid,
+                        key_col="repo",
+                        sample_fraction=self.hot_sample_fraction,
+                        hot_threshold=self.hot_key_threshold,
+                    )
+                    if run_hot
+                    else None
+                )
+                lineage_rows = fut_lineage.result()
+                hot: list[str] = fut_hot.result() if fut_hot is not None else []
             events_in = sum(r["events_in"] for r in lineage_rows)
             if events_in == 0:
                 return None
             n_valid = sum(r["rows"] for r in lineage_rows)
+            affected_buckets = sorted(
+                {b for r in lineage_rows for b in (r["buckets"] or [])}
+            )
             lsn_min = min((r["lsn_min"] for r in lineage_rows if r["lsn_min"] is not None),
                           default=None)
             lsn_max = max((r["lsn_max"] for r in lineage_rows if r["lsn_max"] is not None),
@@ -304,16 +357,6 @@ class CdcEngine:
                 key=lambda d: (d["partition"] is None, d["partition"]),
             )
 
-            # hot-key detection only when the batch could contain a hot key
-            # at all (driver-side short-circuit saves a job per small batch)
-            hot: list[str] = []
-            if n_valid >= self.hot_key_threshold:
-                hot = detect_hot_keys(
-                    valid,
-                    key_col="repo",
-                    sample_fraction=self.hot_sample_fraction,
-                    hot_threshold=self.hot_key_threshold,
-                )
             reduced = lww_reduce(
                 valid,
                 keys=["repo", "path"],
@@ -342,6 +385,10 @@ class CdcEngine:
                 advance_watermark_to=(
                     lsn_max if self._delivery == "in_order" else None
                 ),
+                affected_buckets=affected_buckets,
+                # Observation deadlocks inside a foreachBatch callback —
+                # streaming epochs take the explicit-count path
+                use_observation=self._delivery != "stream",
             )
             elapsed = max(time.monotonic() - t0, 1e-9)
             n_red = merge_stats.get("rows", 0)

@@ -32,6 +32,8 @@ def generate_event_log(
     shuffle_delivery: bool = False,
     n_spark_partitions: int | None = None,
     content_repeat: int = 1,
+    key_locality: int | None = None,
+    locality_window: int = 100_000,
 ) -> DataFrame:
     """Build the event log. ``lsn`` is a total order 0..n_events-1.
 
@@ -42,6 +44,14 @@ def generate_event_log(
     ``shuffle_delivery=True`` returns rows in a deterministic but
     LSN-scrambled order (delivery order ≠ commit order) to exercise
     out-of-order handling.
+
+    ``key_locality``: real CDC batches cluster on a small active working set
+    (hot files being rewritten), they don't spray uniform-random keys across
+    the whole keyspace. When set, each ``locality_window`` of consecutive
+    LSNs draws its (repo, path) keys from a rotating window of exactly
+    ``key_locality`` keys out of the full ``n_repos × paths_per_repo``
+    keyspace — so a micro-batch touches few distinct keys and the lake's
+    bucket/file pruning actually engages, as it would in production.
     """
     df = spark.range(0, n_events, 1, n_spark_partitions or spark.sparkContext.defaultParallelism)
     df = df.withColumnRenamed("id", "lsn")
@@ -60,6 +70,19 @@ def generate_event_log(
         F.lit("src/dir"), (h("d") % 10).cast("string"),
         F.lit("/file"), (h("p") % paths_per_repo).cast("string"), F.lit(".py"),
     )
+    if key_locality is not None:
+        # rotating working set: window w activates key ids
+        # [w·locality, w·locality + key_locality) mod the full keyspace
+        total_keys = n_repos * paths_per_repo
+        window = F.floor(F.col("lsn") / F.lit(locality_window))
+        key_id = (window * key_locality + (h("loc") % key_locality)) % total_keys
+        repo = F.concat(
+            F.lit("org/repo-"),
+            F.lpad((key_id / paths_per_repo).cast("long").cast("string"), 5, "0"),
+        )
+        path = F.concat(
+            F.lit("src/file"), (key_id % paths_per_repo).cast("string"), F.lit(".py")
+        )
     lang = F.element_at(
         F.array(F.lit("python"), F.lit("rust"), F.lit("go"), F.lit("java"), F.lit("c")),
         ((h("l") % 5) + 1).cast("int"),

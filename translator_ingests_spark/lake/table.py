@@ -230,6 +230,31 @@ def _bucket_range_from_footer(path: str) -> tuple[int, int] | None:
     return (lo, hi) if lo is not None else None
 
 
+# n_parts -> salts such that pmod(F.hash(salt_g), n_parts) == g: lets a
+# repartition place each bucket group in exactly one shuffle partition.
+# One tiny driver job per distinct n_parts per process, then cached.
+_SALT_CACHE: dict[int, list[int] | None] = {}
+
+
+def _partition_salts(spark: SparkSession, n_parts: int) -> list[int] | None:
+    if n_parts in _SALT_CACHE:
+        return _SALT_CACHE[n_parts]
+    rows = (
+        spark.range(0, max(1024, 32 * n_parts), 1, 1)
+        .select(
+            F.col("id").cast("int").alias("s"),
+            F.pmod(F.hash(F.col("id").cast("int")), F.lit(n_parts)).alias("p"),
+        )
+        .collect()
+    )
+    by_p: dict[int, int] = {}
+    for r in rows:
+        by_p.setdefault(r["p"], r["s"])
+    salts = [by_p[p] for p in range(n_parts)] if len(by_p) == n_parts else None
+    _SALT_CACHE[n_parts] = salts
+    return salts
+
+
 def _atomic_write_json(path: str, payload: dict) -> None:
     """Write JSON then atomically swap into place (POSIX rename atomicity)."""
     tmp = f"{path}.tmp.{uuid.uuid4().hex}"
@@ -507,6 +532,8 @@ class LakeTable:
         code_hash: str | None = None,
         stats_out: dict | None = None,
         advance_watermark_to: int | None = None,
+        affected_buckets: list[int] | None = None,
+        use_observation: bool = True,
     ) -> Snapshot:
         """Idempotent last-writer-wins MERGE of a pre-reduced batch.
 
@@ -545,34 +572,42 @@ class LakeTable:
             source = source.filter(F.col(lsn_col) > F.lit(snap.low_watermark))
 
         src = source.withColumn("__bucket", self._bucket_expr(snap.num_buckets, keys))
-        src = src.persist()
-        # affected buckets: tiny driver-side list (≤ num_buckets), this is the
-        # bucket-pruning step that keeps merge cost O(batch), not O(table).
-        # the same single job also yields the batch's row/delete counts
-        # (caller observability via stats_out) — no extra count pass.
-        bucket_rows = (
-            src.groupBy("__bucket")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.count(F.when(F.col(op_col) == "delete", 1)).alias("n_del"),
+        # affected buckets: tiny driver-side list (≤ num_buckets), this is
+        # the bucket-pruning step that keeps merge cost O(batch), not
+        # O(table). Callers that already know the batch's bucket set (the
+        # apply loop folds it into its lineage aggregation) pass it in —
+        # zero extra jobs here; a superset is safe (extra buckets pass
+        # through the merge untouched).
+        if affected_buckets is not None:
+            affected = sorted(set(affected_buckets))
+        else:
+            affected = sorted(
+                r["__bucket"] for r in src.select("__bucket").distinct().collect()
             )
-            .collect()
-        )
-        affected = sorted(r["__bucket"] for r in bucket_rows)
-        n_rows = sum(r["n"] for r in bucket_rows)
-        n_del = sum(r["n_del"] for r in bucket_rows)
-        if stats_out is not None:
-            stats_out["rows"] = n_rows
-            stats_out["deletes"] = n_del
-            stats_out["affected_buckets"] = len(affected)
-        # enrich the snapshot's metrics with the merge counts so a manifest
-        # lost to a crash after this commit can be rebuilt from the snapshot
-        if metrics is not None:
-            metrics = {
-                **metrics,
-                "rows_upserted": int(n_rows - n_del),
-                "rows_deleted": int(n_del),
-            }
+
+        # the batch's row/delete counts ride along the write pass as an
+        # Observation — no separate count job, no cache of the merge output.
+        # NOT on the foreachBatch path: Observation.get never resolves inside
+        # a streaming epoch callback (its listener event can't be delivered
+        # while the callback thread blocks on it — measured deadlock), so
+        # streaming callers set use_observation=False and pay one small
+        # count job instead.
+        obs = None
+        if use_observation:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            src = src.observe(
+                obs,
+                F.count(F.lit(1)).alias("rows"),
+                F.count(F.when(F.col(op_col) == "delete", 1)).alias("deletes"),
+            )
+        else:
+            row = src.agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.count(F.when(F.col(op_col) == "delete", 1)).alias("deletes"),
+            ).collect()[0]
+            merge_counts = {"rows": row["rows"], "deletes": row["deletes"]}
 
         # file pruning: only files whose bucket range intersects the batch
         # are read and rewritten; their rows in *other* buckets pass through
@@ -640,30 +675,54 @@ class LakeTable:
         )
         result = joined.select(*out_cols)
         result = result.withColumn("__bucket", self._bucket_expr(snap.num_buckets, keys))
-        # repartitionByRange SAMPLES its input — without a cache the full
-        # outer join would be computed twice (sample pass + write pass)
-        result = result.persist()
 
         new_version = snap.version + 1
         out_dir = self._data_dir(new_version)
-        # range-partition on the bucket id → each output file covers a tight
-        # contiguous bucket range (manifest stats stay selective), written as
-        # a PLAIN parquet write — the dynamic-partition (partitionBy) commit
-        # path is ~10× slower for many small partitions and serializes in
-        # the committer. Sort within partitions keeps bucket ids RLE-cheap
-        # and row groups clustered for downstream key pruning.
+        # partition the write by a DETERMINISTIC bucket-group id — unlike
+        # repartitionByRange this needs no sampling job (and therefore no
+        # cache of the full-outer join to avoid double compute): __bucket's
+        # domain is known ([0, num_buckets)), so floor-dividing it into
+        # n_parts contiguous groups gives each output file a tight bucket
+        # range for manifest pruning. Written as a PLAIN parquet write — the
+        # dynamic-partition (partitionBy) commit path is ~10× slower for
+        # many small partitions and serializes in the committer. Sort within
+        # partitions keeps bucket ids RLE-cheap and row groups clustered.
         # file count ∝ cluster parallelism, not bucket count — 64 tiny files
         # per commit just multiply task-scheduling and footer costs
         par = self.spark.sparkContext.defaultParallelism
         n_parts = max(1, min(len(affected), par))
+        group = F.floor(F.col("__bucket") * n_parts / snap.num_buckets).cast("int")
+        # map each bucket group to EXACTLY one shuffle partition via
+        # precomputed salts (pmod(hash(salt), n) == group) — plain
+        # repartition(n, group) would hash-collide groups (~1/e of writers
+        # idle, files spanning unrelated bucket ranges)
+        salts = _partition_salts(self.spark, n_parts)
+        if salts is not None:
+            salt_arr = F.array(*[F.lit(s) for s in salts])
+            group = F.element_at(salt_arr, group + 1)
         (
-            result.repartitionByRange(n_parts, "__bucket")
+            result.withColumn("__grp", group.cast("int"))
+            .repartition(n_parts, "__grp")
+            .drop("__grp")
             .sortWithinPartitions("__bucket")
             .write.mode("overwrite")
             .parquet(out_dir)
         )
-        result.unpersist()
-        src.unpersist()
+
+        if obs is not None:
+            merge_counts = obs.get
+        if stats_out is not None:
+            stats_out["rows"] = merge_counts["rows"]
+            stats_out["deletes"] = merge_counts["deletes"]
+            stats_out["affected_buckets"] = len(affected)
+        # enrich the snapshot's metrics with the merge counts so a manifest
+        # lost to a crash after this commit can be rebuilt from the snapshot
+        if metrics is not None:
+            metrics = {
+                **metrics,
+                "rows_upserted": int(merge_counts["rows"] - merge_counts["deletes"]),
+                "rows_deleted": int(merge_counts["deletes"]),
+            }
 
         # manifest plane: record each written file with its bucket range
         # (parquet footer stats — metadata-only, fetched concurrently)

@@ -51,7 +51,13 @@ class CdcStream:
         # makes merge drop valid late events); offset-range disjointness is
         # likewise not assumed by the validator for stream batches
         engine._delivery = "stream"
-        batch = batch.persist()
+        # detach the epoch from the streaming source: localCheckpoint
+        # materializes the batch and truncates its lineage, so the many
+        # downstream jobs the apply unit runs (concurrent lineage/hot-key
+        # aggregations, the single-pass observed merge write) execute as
+        # plain batch jobs — re-executing a foreachBatch source plan from
+        # multiple jobs can wedge the microbatch thread (observed hang)
+        batch = batch.localCheckpoint(eager=True)
         try:
             schema_rows = (
                 batch.filter(F.col("op") == "schema_change")
@@ -90,7 +96,8 @@ class CdcStream:
                         at_lsn=schema_rows[i]["lsn"],
                     )
         finally:
-            batch.unpersist()
+            # localCheckpoint blocks are freed when the DataFrame is GC'd
+            pass
 
     # -- drivers ---------------------------------------------------------------
     def run_available_now(self, timeout_sec: int | None = None) -> None:
