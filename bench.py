@@ -113,12 +113,22 @@ def main():
         )
         eng3 = CdcEngine(spark, root3, num_buckets=256, use_arrow_normalize=False)
         eng3.apply_log(seed_log, n_batches=1, total_events=200_000)
-        clu_log = generate_event_log(
-            spark, 300_000, seed=8, n_repos=500, n_mega_repos=2,
-            hot_fraction=0.1, paths_per_repo=200, content_repeat=16,
-            key_locality=48, locality_window=100_000,
-            n_spark_partitions=cpus * 2,
-        ).persist()
+        from pyspark.sql import functions as F
+
+        clu_log = (
+            generate_event_log(
+                spark, 300_000, seed=8, n_repos=500, n_mega_repos=2,
+                hot_fraction=0.1, paths_per_repo=200, content_repeat=16,
+                key_locality=48, locality_window=100_000,
+                n_spark_partitions=cpus * 2,
+            )
+            # updates arrive AFTER the seed epoch: shift LSNs past the seed
+            # log's range (otherwise the exactly-once watermark correctly
+            # rejects them as already-applied)
+            .withColumn("lsn", F.col("lsn") + F.lit(200_000))
+            .withColumn("source_offset", F.col("source_offset") + F.lit(200_000))
+            .persist()
+        )
         cn = clu_log.count()
         t0 = time.monotonic()
         ms = eng3.apply_log(clu_log, n_batches=3, total_events=cn)

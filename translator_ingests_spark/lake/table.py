@@ -710,7 +710,18 @@ class LakeTable:
         )
 
         if obs is not None:
-            merge_counts = obs.get
+            try:
+                merge_counts = obs.get
+            except Exception:
+                # AQE empty-relation propagation can eliminate the observed
+                # subtree entirely (e.g. the watermark guard filtered every
+                # source row on a redelivered batch) — no metrics row is ever
+                # produced. Fall back to an explicit (tiny) count job.
+                row = src.agg(
+                    F.count(F.lit(1)).alias("rows"),
+                    F.count(F.when(F.col(op_col) == "delete", 1)).alias("deletes"),
+                ).collect()[0]
+                merge_counts = {"rows": row["rows"], "deletes": row["deletes"]}
         if stats_out is not None:
             stats_out["rows"] = merge_counts["rows"]
             stats_out["deletes"] = merge_counts["deletes"]
