@@ -486,6 +486,9 @@ class CdcEngine:
                 lsn_maxs = [d["lsn_max"] for d in lineage if d.get("lsn_max") is not None]
                 manifest = {
                     "batch_id": unit_id,
+                    # a resume replays with the same delivery mode, so the
+                    # current run's mode matches the lost manifest's
+                    "delivery": self._delivery,
                     "applied_lsn_min": min(lsn_mins) if lsn_mins else None,
                     "applied_lsn_max": max(lsn_maxs) if lsn_maxs else None,
                     "source_offsets": {
