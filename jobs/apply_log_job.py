@@ -51,9 +51,13 @@ def main(argv: list[str] | None = None) -> int:
     else:
         if args.events.isdigit():
             log = generate_event_log(spark, int(args.events), seed=42)
+            cache_log = True
         else:
             log = spark.read.schema(EVENT_SCHEMA).parquet(args.events)
-        manifests = engine.apply_log(log, n_batches=args.batches)
+            # the log is already on shared storage: re-scan instead of
+            # pinning a Spark cache per executor (multi-executor poison)
+            cache_log = False
+        manifests = engine.apply_log(log, n_batches=args.batches, cache_log=cache_log)
 
     total = sum(m["metrics"]["events_in"] for m in manifests)
     print(json.dumps({"batches_committed": len(manifests), "events_applied": total,
