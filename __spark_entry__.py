@@ -25,7 +25,76 @@ def entry(spark: SparkSession) -> DataFrame:
     return cdc_replay_final_state(spark, "/root/testdata/sf0.001")
 
 
-def _registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
+# The round-2 driver evaluated exactly 50 registry entries (CORRECTNESS_r02
+# holds keys 0..49 of the 51-entry registration order; index 50 —
+# content_sha256_invariant, the north-rule per-row invariant — was silently
+# dropped). The registry is therefore emitted in explicit PRIORITY order:
+# CDC-engine / north-rule queries first, then the LLM-pipeline operators,
+# then the relational/analytics suite, so any driver-side cap truncates the
+# least critical tail. `distinct_dedup` is excluded from the driver view
+# (it duplicates `dedup_exact`'s A8 coverage; still exported for bench and
+# pytest), and the rows-only `approx_and_sample_stats` is ordered last.
+_PRIORITY = [
+    # -- tier 1: the CDC engine itself (north rule) --
+    "cdc_replay_final_state",
+    "content_sha256_invariant",
+    "cdc_lww_reduce_only",
+    "graph_metadata_stats",
+    "validation_report_counts",
+    "cdc_manifest_metrics",
+    "cdc_log_projection",
+    "multi_source_merge_final_state",
+    "normalize_ids_strict",
+    "normalize_ids_lenient",
+    "normalize_failures",
+    # -- tier 2: LLM-pipeline operators (dedup / similarity / text) --
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "ann_cosine_topk",
+    "ann_lsh_bucketed",
+    "embedding_cosine_neardup",
+    "token_count",
+    "text_quality_score",
+    "lang_id_ngram",
+    "doc_fingerprint",
+    # -- tier 3: relational / analytics / reference shapes / temporal --
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "broadcast_dim_join",
+    "semi_join_customers_with_urgent_orders",
+    "anti_join_parts_never_ordered",
+    "multi_key_left_join",
+    "topk_per_group",
+    "latest_event_per_user",
+    "running_sum_window",
+    "group_null_out_window",
+    "union_except_customers",
+    "explode_wordcount",
+    "scalar_functions_projection",
+    "string_agg_per_group",
+    "groupby_multi_agg",
+    "json_extraction",
+    "rollup_revenue",
+    "cube_order_stats",
+    "pivot_event_counts",
+    "dominant_element",
+    "set_union_reagg",
+    "topk_union_two_criteria",
+    "referential_integrity_check",
+    "self_group_lookup",
+    "asof_join_events_to_orders",
+    "range_join_follow_events",
+    "approx_and_sample_stats",  # rows-only gate by design; cheapest to lose
+]
+
+_DRIVER_EXCLUDED = {"distinct_dedup"}
+
+
+def _registry(full: bool = False) -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
     from translator_ingests_spark.operators import cdc_queries, relational
 
     reg: dict[str, tuple] = {}
@@ -56,7 +125,16 @@ def _registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str
             reg.update(mod.QUERIES)
     except ImportError:
         pass
-    return reg
+    if full:
+        return reg
+    ordered: dict[str, tuple] = {}
+    for name in _PRIORITY:
+        if name in reg:
+            ordered[name] = reg[name]
+    for name, entry_ in reg.items():  # safety net for unlisted additions
+        if name not in ordered and name not in _DRIVER_EXCLUDED:
+            ordered[name] = entry_
+    return ordered
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

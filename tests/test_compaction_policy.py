@@ -107,3 +107,27 @@ def test_auto_compaction_wired_into_apply_loop(spark, tmp_path):
     s1 = {(r["repo"], r["path"]): r["content"] for r in eng.table.read().collect()}
     s2 = {(r["repo"], r["path"]): r["content"] for r in eng2.table.read().collect()}
     assert s1 == s2
+
+
+def test_default_engine_auto_compacts_and_watermark_guard_holds(spark, tmp_path):
+    """The DEFAULT engine (no auto_compact_every argument) must fold out
+    watermarked tombstones on its own — production replays may not grow
+    tombstones unboundedly — and a stale event below the watermark must
+    still be rejected afterwards at the default setting."""
+    eng = CdcEngine(spark, str(tmp_path / "cdc"), num_buckets=4)
+    assert eng.auto_compact_every == 16  # default ON
+    # 17 single-event units: insert then delete the same key repeatedly so
+    # tombstones accrue, crossing the every-16-units compaction trigger
+    events = [
+        ev(i, "delete" if i % 2 == 1 else "insert", "r", f"p{i // 2}",
+           f"c{i}", "py", None if i % 2 == 1 else f"v{i}")
+        for i in range(17)
+    ]
+    eng.apply_log(spark.createDataFrame(events, EVENT_SCHEMA), events_per_batch=1)
+    ops = [eng.table.snapshot_at(v).operation for v in eng.table.history()]
+    assert "compact" in ops
+    assert _tombstones(eng.table) == []  # in-order watermark covered them all
+    # stale redelivery below the watermark: still rejected post-compaction
+    stale = [ev(3, "update", "r", "p1", "cx", "py", "v-resurrect")]
+    eng.apply_log(spark.createDataFrame(stale, EVENT_SCHEMA), events_per_batch=100)
+    assert eng.table.read().filter("path = 'p1'").count() == 0

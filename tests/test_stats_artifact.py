@@ -57,3 +57,40 @@ def test_artifact_reconciles_with_queries(spark, tmp_path):
 
     # the artifact on disk is valid JSON and atomic-published
     assert json.load(open(out))["totals"]["n_rows"] == 30
+
+
+def test_emergent_schema_reconciles_with_declared_and_data(spark, tmp_path):
+    """ORION generate_schema analog: the observed-from-data schema must list
+    every declared column with its type and exact non-null counts, and must
+    surface keys seen only inside the extras map (values from schema-change
+    events without a declared column)."""
+    from translator_ingests_spark.cdc import CdcEngine, EVENT_SCHEMA
+    from translator_ingests_spark.lake.stats import emergent_schema, write_graph_metadata
+
+    ev = [
+        {
+            "lsn": i, "op": "insert", "repo": "org/r", "path": f"p{i}",
+            "commit": format(i, "040x"), "lang": None if i < 4 else "py",
+            "content": f"c{i}", "schema_change": None,
+            "source_partition": 0, "source_offset": i,
+            "extras": {"lang_meta": f"m{i}"} if i % 2 == 0 else None,
+        }
+        for i in range(10)
+    ]
+    eng = CdcEngine(spark, str(tmp_path / "cdc"), num_buckets=4)
+    eng.apply_log(spark.createDataFrame(ev, EVENT_SCHEMA), n_batches=1)
+    state = eng.table.read_raw()  # raw state carries the extras map column
+    rep = emergent_schema(state)
+    assert rep["n_rows"] == 10
+    cols = rep["columns"]
+    assert cols["repo"]["n_nonnull"] == 10
+    assert cols["lang"]["n_nonnull"] == 6
+    assert cols["lang"]["type"] == "string"
+    assert cols["content_sha256"]["n_nonnull"] == 10
+    # extras keys observed from data, with row counts
+    assert {e["key"]: e["n_rows"] for e in rep["extras_keys"]} == {"lang_meta": 5}
+
+    # and the artifact embeds it
+    out = tmp_path / "meta.json"
+    art = write_graph_metadata(eng.table, str(out))
+    assert art["emergent_schema"]["columns"]["repo"]["n_nonnull"] == 10

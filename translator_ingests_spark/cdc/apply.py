@@ -98,7 +98,7 @@ class CdcEngine:
         hot_key_threshold: int = 50_000,
         hot_sample_fraction: float = 0.05,
         salt_buckets: int = 32,
-        auto_compact_every: int | None = None,
+        auto_compact_every: int | None = 16,
     ):
         self.spark = spark
         self.root = root
@@ -109,7 +109,11 @@ class CdcEngine:
         self.salt_buckets = salt_buckets
         # tombstone-retention policy: every K committed units, fold out
         # tombstones at or below the low watermark (safe: merge rejects
-        # events at/below the watermark, so compacted deletes can't resurrect)
+        # events at/below the watermark, so compacted deletes can't resurrect).
+        # Default ON (every 16 units) so long-running production replays don't
+        # grow tombstones unboundedly; pass None to disable (e.g. when a
+        # downstream merged table still needs the tombstones — see
+        # lake/merge_sources.py's rebuild guard).
         self.auto_compact_every = auto_compact_every
         self.code_hash = compute_code_hash()
         self.table = LakeTable(spark, os.path.join(root, "lake"))
@@ -197,7 +201,8 @@ class CdcEngine:
                         F.col("op") == "schema_change",
                         F.struct("lsn", "schema_change"),
                     )
-                ).alias("sc")
+                ).alias("sc"),
+                F.min("lsn").alias("lsn_lo"),
             )
             .collect()
         )
@@ -207,8 +212,38 @@ class CdcEngine:
                 schema_events[r["__batch"]] = sorted(r["sc"], key=lambda x: x["lsn"])
         present = sorted(r["__batch"] for r in meta_rows)
 
+        # REPLAY vs TAIL. The exactly-once guard skips units whose id is at
+        # or below the table's last_batch_id — correct when this call REPLAYS
+        # the same log from the start (crash-resume re-derives identical
+        # batches, committed ones skip). But a caller TAILING the log hands
+        # in only new events; restarting unit numbering at 0 would let the
+        # guard silently swallow them. The two shapes are distinguished by
+        # LSN: a log whose minimum LSN lies beyond every previously-applied
+        # LSN is a tail segment → numbering continues at last_batch_id + 1.
+        # (Logs that interleave already-applied and new LSNs in one call are
+        # outside the checkpoint contract — resume must re-derive the same
+        # batching, exactly like resuming a Kafka offset checkpoint.)
+        min_lsn = min(
+            (r["lsn_lo"] for r in meta_rows if r["lsn_lo"] is not None), default=None
+        )
+        prev_max = max(
+            (
+                m["applied_lsn_max"]
+                for m in self.manifests()
+                if m.get("applied_lsn_max") is not None
+            ),
+            default=None,
+        )
+        base_unit = 0
+        if (
+            min_lsn is not None
+            and prev_max is not None
+            and min_lsn > prev_max
+        ):
+            base_unit = self.table.current().last_batch_id + 1
+
         manifests: list[dict] = []
-        unit_id = 0
+        unit_id = base_unit
         consumed = 0
         for b in present:
             batch = events.filter(F.col("__batch") == b).drop("__batch")
@@ -248,7 +283,7 @@ class CdcEngine:
 
                             compact(self.table, drop_tombstones=True)
                     unit_id += 1
-                    if max_units is not None and unit_id >= max_units:
+                    if max_units is not None and unit_id - base_unit >= max_units:
                         if not already_cached:
                             events.unpersist()
                         return manifests
@@ -334,6 +369,18 @@ class CdcEngine:
             if events_in == 0:
                 return None
             n_valid = sum(r["rows"] for r in lineage_rows)
+            # approx_events is the RUN-WIDE average — a skewed batch can
+            # exceed the hot-key threshold even when the average sits below
+            # it. The actual batch size is now known: run the authoritative
+            # detector sequentially as a fallback so such a batch still gets
+            # salted (skipping it regresses the skewed reduce).
+            if not run_hot and n_valid >= self.hot_key_threshold:
+                hot = detect_hot_keys(
+                    valid,
+                    key_col="repo",
+                    sample_fraction=self.hot_sample_fraction,
+                    hot_threshold=self.hot_key_threshold,
+                )
             affected_buckets = sorted(
                 {b for r in lineage_rows for b in (r["buckets"] or [])}
             )
@@ -389,6 +436,7 @@ class CdcEngine:
                 # Observation deadlocks inside a foreachBatch callback —
                 # streaming epochs take the explicit-count path
                 use_observation=self._delivery != "stream",
+                delivery=self._delivery,
             )
             elapsed = max(time.monotonic() - t0, 1e-9)
             n_red = merge_stats.get("rows", 0)
@@ -446,8 +494,12 @@ class CdcEngine:
         has_extras = "extras" in reduced.columns
         for fld in snap.schema.fields:
             origin = origin_name.get(fld.field_id)
-            if origin == "last_lsn":
-                continue  # written by merge from the event lsn
+            if fld.name == snap.lsn_col:
+                # written by merge from the event lsn — resolved via the
+                # table's configured lsn_col, not a hardcoded name, so an
+                # engine pointed at a pre-existing LakeTable with a custom
+                # lsn_col doesn't leak the field through the extras path
+                continue
             if origin in base_exprs:
                 cols.append(base_exprs[origin].alias(fld.name))
                 continue
@@ -477,7 +529,10 @@ class CdcEngine:
         commit and the manifest write: the committed snapshot for the batch
         stores everything the manifest needs (lineage, metrics, code hash),
         so the rebuild is deterministic. Returns None if the batch produced
-        no snapshot (empty unit)."""
+        no snapshot (empty unit); raises if the backing snapshot has been
+        expired — a committed unit must never silently vanish from the
+        rebuilt manifest set."""
+        saw_older = False
         for v in reversed(self.table.history()):
             s = self.table.snapshot_at(v)
             if s.batch_id == unit_id:
@@ -486,9 +541,11 @@ class CdcEngine:
                 lsn_maxs = [d["lsn_max"] for d in lineage if d.get("lsn_max") is not None]
                 manifest = {
                     "batch_id": unit_id,
-                    # a resume replays with the same delivery mode, so the
-                    # current run's mode matches the lost manifest's
-                    "delivery": self._delivery,
+                    # the ORIGINAL run's delivery mode, persisted in the
+                    # snapshot — a resume run with a different scatter flag
+                    # must not relabel the manifest (validate routes its
+                    # offset-range disjointness check on this field)
+                    "delivery": s.delivery,
                     "applied_lsn_min": min(lsn_mins) if lsn_mins else None,
                     "applied_lsn_max": max(lsn_maxs) if lsn_maxs else None,
                     "source_offsets": {
@@ -503,8 +560,17 @@ class CdcEngine:
                 self._write_ckpt(unit_id, manifest)
                 return manifest
             if s.last_batch_id < unit_id:
+                saw_older = True
                 break
-        return None
+        if saw_older:
+            # history walks past the unit's slot without finding a snapshot:
+            # the unit was genuinely empty (no commit, no manifest)
+            return None
+        raise RuntimeError(
+            f"checkpoint manifest for committed batch {unit_id} is lost and its "
+            f"backing snapshot has been expired (expire_snapshots retention too "
+            f"aggressive) — cannot rebuild exactly-once lineage"
+        )
 
     # -- checkpoint manifests ---------------------------------------------------
     def _ckpt_path(self, unit_id: int) -> str:

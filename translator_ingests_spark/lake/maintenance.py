@@ -115,6 +115,13 @@ def compact(table: LakeTable, target_files: int | None = None,
         added_lsn=snap.added_lsn,
         low_watermark=snap.low_watermark,
         operation="compact",
+        # record how far tombstones may have been folded out: consumers of
+        # the raw state (merge_lakes) rebuild if this passes their watermark
+        tombstones_dropped_below=(
+            (2**62 if force else max(snap.tombstones_dropped_below, snap.low_watermark))
+            if drop_tombstones
+            else snap.tombstones_dropped_below
+        ),
     )
     table._commit_snapshot(new_snap)
     return new_snap

@@ -19,6 +19,7 @@ a single-source apply uses, so the merged write is O(union), never O(N·table).
 from __future__ import annotations
 
 import hashlib
+import shutil
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -81,12 +82,31 @@ def merge_lakes(
     builds = sorted(f"{s.code_hash or 'none'}:{s.version}" for s in snaps)
     rel_ver = release_version(builds)
     ref = snaps[0]
+    roots = sorted(t.root for t in sources)
 
     out = LakeTable(spark, out_root)
+    rebuilt = False
     if out.exists():
         cur = out.current()
         if (cur.metrics or {}).get("release_version") == rel_ver:
             return out, {"release_version": rel_ver, "skipped": True}
+        # An INCREMENTAL re-merge is only sound when (a) the source set is
+        # unchanged — a newly added source's rows at or below the merged
+        # table's watermark would be silently filtered by merge()'s duplicate
+        # guard — and (b) no source has folded out tombstones past the
+        # merged table's consumed watermark — such a delete would never reach
+        # the merged table and the dead key would survive there. Either
+        # condition → rebuild from scratch (reference rebuilds every release
+        # anyway: merging.py:255-275).
+        prev_roots = _last_merged_roots(out)
+        sources_changed = prev_roots is not None and prev_roots != roots
+        compacted_past = any(
+            s.tombstones_dropped_below > cur.low_watermark for s in snaps
+        )
+        if sources_changed or compacted_past or prev_roots is None:
+            shutil.rmtree(out_root, ignore_errors=True)
+            out = LakeTable(spark, out_root)
+            rebuilt = True
 
     if not out.exists():
         LakeTable.create(
@@ -147,4 +167,16 @@ def merge_lakes(
         # the merged table may safely claim only what EVERY source guarantees
         advance_watermark_to=min(watermarks) if watermarks else None,
     )
-    return out, {"release_version": rel_ver, "skipped": False}
+    return out, {"release_version": rel_ver, "skipped": False, "rebuilt": rebuilt}
+
+
+def _last_merged_roots(out: LakeTable) -> list[str] | None:
+    """The sorted source-root set recorded by the newest merge snapshot of a
+    merged table (compaction/schema snapshots carry no lineage — walk past
+    them). None when no merge lineage survives (e.g. expired) — treated as
+    unsafe, forcing a rebuild."""
+    for v in reversed(out.history()):
+        lin = out.snapshot_at(v).lineage
+        if lin and "sources" in lin:
+            return sorted(lin["sources"])
+    return None

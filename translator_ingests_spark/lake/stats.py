@@ -48,6 +48,43 @@ def repo_prefix_cards(state: DataFrame, sep: str = "/") -> DataFrame:
     )
 
 
+def emergent_schema(state: DataFrame) -> dict:
+    """Schema *observed from the data* (ORION ``generate_schema`` analog,
+    /root/reference/src/translator_ingest/pipeline.py:544-546): per column
+    its Spark type and non-null count, plus every key observed inside the
+    ``extras`` map (values delivered by schema-change events that predate —
+    or never got — a declared column). One aggregation job for the column
+    plane; one tiny job over exploded map keys for the extras plane."""
+    extras_col = next(
+        (c for c in ("__extras", "extras") if c in state.columns), None
+    )
+    cols = [f for f in state.schema.fields if f.name != extras_col]
+    agg = state.agg(
+        F.count(F.lit(1)).alias("__total"),
+        *[F.count(f.name).alias(f.name) for f in cols],
+    ).collect()[0]
+    total = agg["__total"]
+    observed = {
+        f.name: {
+            "type": f.dataType.simpleString(),
+            "n_nonnull": int(agg[f.name]),
+            "fraction_nonnull": (int(agg[f.name]) / total) if total else 0.0,
+        }
+        for f in cols
+    }
+    extras_keys: list[dict] = []
+    if extras_col is not None:
+        rows = (
+            state.select(F.explode(F.map_keys(extras_col)).alias("key"))
+            .groupBy("key")
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .orderBy("key")
+            .collect()
+        )
+        extras_keys = [{"key": r["key"], "n_rows": int(r["n_rows"])} for r in rows]
+    return {"n_rows": int(total), "columns": observed, "extras_keys": extras_keys}
+
+
 def write_graph_metadata(table: LakeTable, out_path: str) -> dict:
     """Compute and atomically publish the stats artifact for the CURRENT
     snapshot. All heavy lifting is two aggregation jobs whose results are
@@ -69,6 +106,7 @@ def write_graph_metadata(table: LakeTable, out_path: str) -> dict:
         "totals": {k: (int(v) if v is not None else 0) for k, v in totals_row.asDict().items()},
         "per_lang": langs,
         "repo_prefixes": prefixes,
+        "emergent_schema": emergent_schema(state),
     }
     tmp = f"{out_path}.tmp.{uuid.uuid4().hex}"
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)

@@ -142,6 +142,17 @@ class Snapshot:
     low_watermark: int = -1
     # what produced this snapshot: create | merge | schema | compact
     operation: str = "merge"
+    # highest LSN at-or-below which tombstones may have been folded out by
+    # compaction (-1 = none ever dropped). Downstream consumers that replay
+    # this table's raw state (merge_lakes) compare it against their own
+    # consumed watermark: a drop past that watermark means deletes may have
+    # vanished before the consumer saw them → the consumer must rebuild.
+    tombstones_dropped_below: int = -1
+    # delivery mode of the batch that produced this snapshot (in_order |
+    # scatter | stream) — persisted so a checkpoint manifest lost to a crash
+    # can be rebuilt with the ORIGINAL mode even if the resume run uses a
+    # different one (validate's offset-range disjointness check routes on it)
+    delivery: str = "in_order"
 
     def to_json(self) -> dict:
         return {
@@ -161,6 +172,8 @@ class Snapshot:
             "added_lsn": {str(k): v for k, v in self.added_lsn.items()},
             "low_watermark": self.low_watermark,
             "operation": self.operation,
+            "delivery": self.delivery,
+            "tombstones_dropped_below": self.tombstones_dropped_below,
         }
 
     @classmethod
@@ -182,6 +195,8 @@ class Snapshot:
             added_lsn={int(k): v for k, v in d.get("added_lsn", {}).items()},
             low_watermark=d.get("low_watermark", -1),
             operation=d.get("operation", "merge"),
+            delivery=d.get("delivery", "in_order"),
+            tombstones_dropped_below=d.get("tombstones_dropped_below", -1),
         )
 
     def name_history(self, field_id: int) -> list[str]:
@@ -515,6 +530,7 @@ class LakeTable:
             added_lsn=added_lsn,
             low_watermark=snap.low_watermark,
             operation="schema",
+            tombstones_dropped_below=snap.tombstones_dropped_below,
         )
         self._commit_snapshot(new_snap)
         return new_snap
@@ -534,6 +550,7 @@ class LakeTable:
         advance_watermark_to: int | None = None,
         affected_buckets: list[int] | None = None,
         use_observation: bool = True,
+        delivery: str = "in_order",
     ) -> Snapshot:
         """Idempotent last-writer-wins MERGE of a pre-reduced batch.
 
@@ -780,6 +797,8 @@ class LakeTable:
                 advance_watermark_to if advance_watermark_to is not None else -1,
             ),
             operation="merge",
+            delivery=delivery,
+            tombstones_dropped_below=snap.tombstones_dropped_below,
         )
         self._commit_snapshot(new_snap)
         return new_snap

@@ -216,9 +216,9 @@ def graph_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 GRAPH_METADATA_SQL = _CDC_LOG_CTE + """
 SELECT lang,
-       count(*) AS n_rows,
-       count(DISTINCT repo) AS n_repos,
-       sum(length(content)) AS content_chars
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT repo) AS BIGINT) AS n_repos,
+       CAST(sum(length(content)) AS BIGINT) AS content_chars
 FROM (
   SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
   FROM cdc
@@ -229,10 +229,81 @@ ORDER BY lang
 """
 
 
+def validation_report_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level declarative validation report (rule-counts table) over the
+    replayed lake's final state — the reference QA gate's per-rule PASS/FAIL
+    output (validate_biolink_kgx.py:226-261) as ONE single-pass aggregation;
+    capped per-rule examples are covered by tests/test_validation_report.py."""
+    from translator_ingests_spark.cdc.report import rule_counts
+
+    eng = _replayed_engine(spark, sf_dir)
+    return rule_counts(eng.final_state())
+
+
+def _rule_sql(name: str, pred: str) -> str:
+    return (
+        f"CAST(coalesce(sum(CASE WHEN {pred} THEN 1 ELSE 0 END), 0) AS BIGINT)"
+        f" AS {name}"
+    )
+
+
+_RULE_PREDS = [
+    ("key_not_null", "ERROR", "repo IS NULL OR path IS NULL"),
+    (
+        "digest_matches_content",
+        "ERROR",
+        "content IS NOT NULL AND content_sha256 IS NOT NULL"
+        " AND sha256(content) <> content_sha256",
+    ),
+    (
+        "digest_wellformed",
+        "ERROR",
+        "content_sha256 IS NULL"
+        " OR NOT regexp_matches(content_sha256, '^[0-9a-f]{64}$')",
+    ),
+    (
+        "commit_wellformed",
+        "ERROR",
+        "\"commit\" IS NULL OR NOT regexp_matches(\"commit\", '^[0-9a-f]{40}$')",
+    ),
+    ("lsn_nonnegative", "ERROR", "last_lsn IS NULL OR last_lsn < 0"),
+    ("content_nonempty", "WARNING", "content IS NULL OR length(content) = 0"),
+    ("lang_present", "WARNING", "lang IS NULL OR lang = ''"),
+]
+
+VALIDATION_REPORT_SQL = (
+    _CDC_LOG_CTE
+    + """
+, final AS (
+  SELECT repo, path, "commit", lang, content,
+         sha256(content) AS content_sha256, lsn AS last_lsn
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+    FROM cdc
+  )
+  WHERE rn = 1 AND op <> 'delete'
+), agg AS (
+  SELECT
+    """
+    + ",\n    ".join(_rule_sql(n, p) for n, _s, p in _RULE_PREDS)
+    + """
+  FROM final
+)
+"""
+    + "\nUNION ALL\n".join(
+        f"SELECT '{n}' AS rule, '{s}' AS severity, {n} AS n_violations,"
+        f" CASE WHEN {n} = 0 THEN 'PASS' ELSE 'FAIL' END AS status FROM agg"
+        for n, s, _p in _RULE_PREDS
+    )
+    + "\nORDER BY rule"
+)
+
+
 QUERIES = {
     "cdc_log_projection": (cdc_log_projection, CDC_LOG_PROJECTION_SQL),
     "cdc_lww_reduce_only": (cdc_lww_reduce_only, CDC_LWW_REDUCE_SQL),
     "cdc_replay_final_state": (cdc_replay_final_state, CDC_REPLAY_SQL),
     "cdc_manifest_metrics": (cdc_manifest_metrics, None),  # rows-only check
     "graph_metadata_stats": (graph_metadata_stats, GRAPH_METADATA_SQL),
+    "validation_report_counts": (validation_report_counts, VALIDATION_REPORT_SQL),
 }

@@ -245,22 +245,39 @@ ORDER BY doc_a, doc_b
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash from token md5s: bit b votes +1/-1 by the parity of
-    hex digit b of each distinct token's md5; signature groups are dup
-    candidates (single equality-join key — the cheapest LSH)."""
+    """64-bit SimHash from token md5s: bit b votes +1/-1 by bit (b % 4) of
+    hex digit (b // 4) of each distinct token's md5; signature groups are
+    dup candidates (single equality-join key — the cheapest LSH)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return (
-        docs.select("doc_id", _simhash_col().alias("simhash16"))
+        docs.select("doc_id", _simhash_col().alias("simhash64"))
         .orderBy("doc_id")
+    )
+
+
+_SIM_BITS = 64
+# hex chars whose nibble has bit k set — drives the per-bit vote in BOTH the
+# Spark expression and the DuckDB oracle (identical substring+membership shape)
+_HEX_BIT = {
+    0: ("1", "3", "5", "7", "9", "b", "d", "f"),
+    1: ("2", "3", "6", "7", "a", "b", "e", "f"),
+    2: ("4", "5", "6", "7", "c", "d", "e", "f"),
+    3: ("8", "9", "a", "b", "c", "d", "e", "f"),
+}
+
+
+def _bit_list_sql(b: int) -> str:
+    chars = ", ".join(f"'{c}'" for c in _HEX_BIT[b % 4])
+    return (
+        f"CASE WHEN list_contains([{chars}], substring(h, {b // 4 + 1}, 1)) "
+        "THEN 1 ELSE -1 END"
     )
 
 
 _BIT_SQL = ", ".join(
     f"""CASE WHEN list_aggregate(list_transform(hs,
-        h -> CASE WHEN list_contains(['1','3','5','7','9','b','d','f'],
-                                     substring(h, {b + 1}, 1))
-                  THEN 1 ELSE -1 END), 'sum') > 0 THEN '1' ELSE '0' END"""
-    for b in range(16)
+        h -> {_bit_list_sql(b)}), 'sum') > 0 THEN '1' ELSE '0' END"""
+    for b in range(_SIM_BITS)
 )
 
 DEDUP_SIMHASH_SQL = f"""
@@ -269,44 +286,58 @@ WITH t AS (
          list_transform(list_distinct({_TOKS_SQL}), x -> md5(x)) AS hs
   FROM documents
 )
-SELECT doc_id, concat({_BIT_SQL}) AS simhash16
+SELECT doc_id, concat({_BIT_SQL}) AS simhash64
 FROM t
 ORDER BY doc_id
 """
 
 
 _HAMMING_K = 3  # max Hamming distance for a near-dup pair
-_N_SIM_BANDS = 4  # 16 bits / 4 bands of 4 — pigeonhole: ham≤3 ⇒ ≥1 equal band
+# 64 bits / 4 bands of 16 — pigeonhole: ham≤3 ⇒ ≥1 equal band. 16-bit bands
+# give 65,536 distinct values per band, so band buckets stay ~n/65k and the
+# candidate join never goes quadratic at corpus scale (the round-2 16-bit
+# signature had only 16 values per band — quadratic past ~10^5 docs).
+_N_SIM_BANDS = 4
+_BAND_WIDTH = _SIM_BITS // _N_SIM_BANDS
 
 
 def _simhash_col():
-    """The 16-char '0'/'1' SimHash signature as a column expression
-    (shared by dedup_simhash and dedup_simhash_pairs)."""
+    """The 64-char '0'/'1' SimHash signature as a column expression (shared
+    by dedup_simhash and dedup_simhash_pairs). ONE pass over the token-hash
+    array: the fold accumulates all 64 bit-votes in an int array via
+    zip_with — not 64 separate array scans."""
     toks = F.array_distinct(_tokens(F.col("text")))
     hashes = F.transform(toks, lambda x: F.md5(x))
 
-    def _vote_fn(b: int):
-        def merge(acc, h):
-            return acc + F.when(
-                F.substring(h, b + 1, 1).isin("1", "3", "5", "7", "9", "b", "d", "f"),
-                F.lit(1),
-            ).otherwise(F.lit(-1))
+    def _votes(h):
+        return F.array(
+            *[
+                F.when(
+                    F.substring(h, b // 4 + 1, 1).isin(*_HEX_BIT[b % 4]), F.lit(1)
+                ).otherwise(F.lit(-1))
+                for b in range(_SIM_BITS)
+            ]
+        )
 
-        return merge
-
-    bits = []
-    for b in range(16):
-        votes = F.aggregate(hashes, F.lit(0), _vote_fn(b))
-        bits.append(F.when(votes > 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
+    acc = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), _SIM_BITS),
+        lambda a, h: F.zip_with(a, _votes(h), lambda x, v: x + v),
+    )
+    return F.concat(
+        *[
+            F.when(F.element_at(acc, b + 1) > 0, F.lit("1")).otherwise(F.lit("0"))
+            for b in range(_SIM_BITS)
+        ]
+    )
 
 
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup candidate PAIRS from SimHash: signatures split into 4 bands
-    of 4 bits; by pigeonhole any pair with Hamming distance ≤ 3 shares at
-    least one identical band, so the candidate join keys on (band_idx,
-    band_value) — shuffle ∝ band-bucket collisions, never docs². Candidates
-    are then exact-filtered to Hamming ≤ 3.
+    """Near-dup candidate PAIRS from SimHash: 64-bit signatures split into 4
+    bands of 16 bits; by pigeonhole any pair with Hamming distance ≤ 3 shares
+    at least one identical band, so the candidate join keys on (band_idx,
+    band_value) — shuffle ∝ band-bucket collisions (~n/65,536 docs per
+    bucket), never docs². Candidates are then exact-filtered to Hamming ≤ 3.
 
     Completes the dedup-set semantics of the reference's seen-pair dedup
     (/root/reference/src/translator_ingest/ingests/string/string.py:126-139):
@@ -321,7 +352,9 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(j).alias("band_idx"),
-                        F.substring("sig", 4 * j + 1, 4).alias("band_val"),
+                        F.substring("sig", _BAND_WIDTH * j + 1, _BAND_WIDTH).alias(
+                            "band_val"
+                        ),
                     )
                     for j in range(_N_SIM_BANDS)
                 ]
@@ -348,7 +381,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             F.substring("sig_a", i + 1, 1) != F.substring("sig_b", i + 1, 1), 1
         ).otherwise(0)
-        for i in range(16)
+        for i in range(_SIM_BITS)
     )
     return (
         cand.select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
@@ -360,10 +393,11 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HAMMING_SQL = " + ".join(
     f"(CASE WHEN substring(a.sig, {i + 1}, 1) <> substring(b.sig, {i + 1}, 1) "
     "THEN 1 ELSE 0 END)"
-    for i in range(16)
+    for i in range(_SIM_BITS)
 )
 _BAND_VALS_SQL = ", ".join(
-    f"struct_pack(band_idx := {j}, band_val := substring(sig, {4 * j + 1}, 4))"
+    f"struct_pack(band_idx := {j}, "
+    f"band_val := substring(sig, {_BAND_WIDTH * j + 1}, {_BAND_WIDTH}))"
     for j in range(_N_SIM_BANDS)
 )
 

@@ -42,14 +42,21 @@ def apply_normalization_map(
     - lenient: failed rows pass through with their original id; ``failures``
       still lists them (observability without data loss).
     """
-    m = F.broadcast(norm_map.select(raw_col, preferred_col))
-    joined = df.join(m, df[id_col] == m[raw_col], "left")
-    failed = F.col(preferred_col).isNull()
+    # alias the map columns to reserved names BEFORE joining — if df itself
+    # carries a column named raw_id/preferred_id the unqualified references
+    # would be ambiguous (or silently resolve to the wrong side)
+    m = F.broadcast(
+        norm_map.select(
+            F.col(raw_col).alias("__norm_raw"), F.col(preferred_col).alias("__norm_pref")
+        )
+    )
+    joined = df.join(m, df[id_col] == m["__norm_raw"], "left")
+    failed = F.col("__norm_pref").isNull()
     failures = (
         joined.filter(failed)
         .select(
             *[df[c] for c in df.columns],
-            F.when(F.col(raw_col).isNull(), F.lit("not_in_map"))
+            F.when(F.col("__norm_raw").isNull(), F.lit("not_in_map"))
             .otherwise(F.lit("unnormalizable"))
             .alias("failure_reason"),
         )
@@ -59,7 +66,7 @@ def apply_normalization_map(
             joined.filter(~failed)
             .select(
                 *[
-                    F.col(preferred_col).alias(id_col) if c == id_col else df[c]
+                    F.col("__norm_pref").alias(id_col) if c == id_col else df[c]
                     for c in df.columns
                 ]
             )
@@ -67,7 +74,7 @@ def apply_normalization_map(
     else:
         normalized = joined.select(
             *[
-                F.coalesce(F.col(preferred_col), df[id_col]).alias(id_col)
+                F.coalesce(F.col("__norm_pref"), df[id_col]).alias(id_col)
                 if c == id_col
                 else df[c]
                 for c in df.columns

@@ -100,22 +100,38 @@ ORDER BY q_id, rank
 """
 
 
-_N_PLANES = 6  # sign bits of the first 6 dims → 64 buckets
+_N_PLANES = 6  # floor: sign bits of the first 6 dims → 64 buckets
+
+
+def _n_planes(n_rows: int, target_bucket: int = 32) -> int:
+    """Corpus-scaled plane count: expected bucket occupancy for random signs
+    is n / 2^planes — hold it ≈ target_bucket so per-query candidate sets
+    stay CONSTANT as the corpus grows (6 planes alone leaves buckets ∝ n).
+    Floored at _N_PLANES (stable through n = 2^11, so sf0.01 and sf0.1 both
+    resolve to 6 and the static DuckDB oracle stays in lockstep); capped at
+    32 (beyond that, bucket sparsity kills recall before size matters)."""
+    import math
+
+    return min(32, max(_N_PLANES, math.ceil(math.log2(max(2.0, n_rows / target_bucket)))))
 
 
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucketed LSH ANN: bucket = sign pattern of the first 6 dimensions
-    (orthant prefix); candidates = same-bucket pairs; exact cosine re-rank
-    within the bucket. Returns each query's top-3 same-bucket neighbors.
+    """Bucketed LSH ANN: bucket = sign pattern of the first k dimensions
+    (orthant prefix), k corpus-scaled via :func:`_n_planes`; candidates =
+    same-bucket pairs; exact cosine re-rank within the bucket. Returns each
+    query's top-3 same-bucket neighbors.
 
     The scale property: candidate generation is an equality join on the
-    bucket key — shuffle ∝ bucket collisions, never docs². (An IVF variant
-    swaps the sign pattern for a nearest-centroid id; same join shape.)"""
+    bucket key — shuffle ∝ bucket collisions, never docs² — and the bucket
+    count grows with the corpus, so collisions per bucket stay bounded. (An
+    IVF variant swaps the sign pattern for a nearest-centroid id; same join
+    shape.)"""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_planes = _n_planes(emb.count())  # parquet count: footer-only, no scan
     bucket = F.concat(
         *[
             F.when(F.element_at(F.col("embedding"), i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
-            for i in range(_N_PLANES)
+            for i in range(n_planes)
         ]
     )
     e = emb.select("vec_id", "embedding", bucket.alias("bucket"))
@@ -177,29 +193,83 @@ ORDER BY q_id, rank
 """
 
 
+# Banded sign-LSH geometry for the ALL-PAIRS near-dup shape. The signature
+# is the sign bit of every dimension (64 random-hyperplane analogs); it is
+# split into _EMB_BANDS bands of _emb_band_width bits and a pair becomes a
+# candidate when ANY band matches (same machinery as dedup_simhash_pairs).
+# Band width grows with the corpus — expected same-band collisions for
+# random signs are n/2^w, so w = log2(n/target) keeps per-bucket candidate
+# counts CONSTANT as n grows (the round-2 version keyed on a fixed 4-bit
+# orthant: 16 buckets, within-bucket pairs ∝ n²/16 — quadratic). Multiple
+# bands are the recall knob: P(candidate) = 1 − (1 − p^w)^B for per-bit
+# sign-agreement p = 1 − θ/π.
+_EMB_BANDS = 8
+_EMB_DIMS = 64
+
+
+def _emb_band_width(n_rows: int, target_bucket: int = 64) -> int:
+    """Corpus-scaled band width, floored at 8 bits (stable through
+    n = 16,384 → the static oracle matches at sf0.01 AND sf0.1) and capped
+    by the signature length across all bands."""
+    import math
+
+    w = max(8, math.ceil(math.log2(max(2.0, n_rows / target_bucket))))
+    return min(w, _EMB_DIMS // 2)
+
+
 def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cosine ≥ 0.4) within LSH
-    buckets — the near-dup variant of the bucketed join (pairs outside a
-    shared bucket are not compared, by design)."""
+    """Embedding-cosine near-duplicate pairs (cosine ≥ 0.4) via banded
+    sign-LSH: candidates share at least one signature band; exact cosine
+    refine on candidates only (pairs sharing no band are not compared, by
+    design — banding is the recall/cost knob, documented above)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    bucket = F.concat(
+    w = _emb_band_width(emb.count())  # footer-only count
+    sig = F.concat(
         *[
             F.when(F.element_at(F.col("embedding"), i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
-            for i in range(4)
+            for i in range(_EMB_DIMS)
         ]
     )
-    e = emb.select("vec_id", "embedding", bucket.alias("bucket"))
-    a = e.select(*[F.col(c).alias(f"a_{c}") for c in e.columns])
-    b = e.select(*[F.col(c).alias(f"b_{c}") for c in e.columns])
-    return (
-        a.join(b, (F.col("a_bucket") == F.col("b_bucket"))
-               & (F.col("a_vec_id") < F.col("b_vec_id")))
+    e = emb.select("vec_id", "embedding", sig.alias("sig"))
+    bands = e.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_idx"),
+                        F.substring("sig", w * j + 1, w).alias("band_val"),
+                    )
+                    for j in range(_EMB_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("vec_id", "embedding", "band.band_idx", "band.band_val")
+    a = bands.select(*[F.col(c).alias(f"a_{c}") for c in bands.columns])
+    b = bands.select(*[F.col(c).alias(f"b_{c}") for c in bands.columns])
+    cand = (
+        a.join(
+            b,
+            (F.col("a_band_idx") == F.col("b_band_idx"))
+            & (F.col("a_band_val") == F.col("b_band_val"))
+            & (F.col("a_vec_id") < F.col("b_vec_id")),
+        )
         .select(
             F.col("a_vec_id").alias("vec_a"),
             F.col("b_vec_id").alias("vec_b"),
+            F.col("a_embedding").alias("emb_a"),
+            F.col("b_embedding").alias("emb_b"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])  # a pair may share several bands
+    )
+    return (
+        cand.select(
+            "vec_a",
+            "vec_b",
             (
-                _dot(F.col("a_embedding"), F.col("b_embedding"))
-                / (_norm(F.col("a_embedding")) * _norm(F.col("b_embedding")))
+                _dot(F.col("emb_a"), F.col("emb_b"))
+                / (_norm(F.col("emb_a")) * _norm(F.col("emb_b")))
             ).alias("cos"),
         )
         .filter(F.col("cos") >= 0.4)
@@ -208,18 +278,40 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BUCKET4_SQL = "concat(" + ", ".join(
-    f"CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END" for i in range(4)
+_SIG_SQL = "concat(" + ", ".join(
+    f"CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END"
+    for i in range(_EMB_DIMS)
 ) + ")"
+# static 8-bit bands — matches _emb_band_width for every n ≤ 16,384
+_EMB_BAND_SQL = ", ".join(
+    f"struct_pack(band_idx := {j}, band_val := substring(sig, {8 * j + 1}, 8))"
+    for j in range(_EMB_BANDS)
+)
 
 EMBEDDING_NEARDUP_SQL = f"""
 WITH e AS (
-  SELECT vec_id, embedding, {_BUCKET4_SQL} AS bucket FROM embeddings
+  SELECT vec_id, embedding, {_SIG_SQL} AS sig FROM embeddings
+), bands AS (
+  SELECT vec_id, embedding, unnest([{_EMB_BAND_SQL}], recursive := true) FROM e
+), cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                  a.embedding AS emb_a, b.embedding AS emb_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.vec_id < b.vec_id
+), scored AS (
+  SELECT vec_a, vec_b,
+         list_sum([emb_a[i]::DOUBLE * emb_b[i]::DOUBLE
+                   FOR i IN range(1, len(emb_a) + 1)])
+         / (sqrt(list_sum([emb_a[i]::DOUBLE * emb_a[i]::DOUBLE
+                           FOR i IN range(1, len(emb_a) + 1)]))
+            * sqrt(list_sum([emb_b[i]::DOUBLE * emb_b[i]::DOUBLE
+                             FOR i IN range(1, len(emb_b) + 1)]))) AS cos
+  FROM cand
 )
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round({_DOT_SQL} / ({_norm_sql('a')} * {_norm_sql('b')}), 6) AS cosine
-FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE {_DOT_SQL} / ({_norm_sql('a')} * {_norm_sql('b')}) >= 0.4
+SELECT vec_a, vec_b, round(cos, 6) AS cosine
+FROM scored
+WHERE cos >= 0.4
 ORDER BY vec_a, vec_b
 """
 
