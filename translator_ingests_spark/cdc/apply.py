@@ -193,24 +193,77 @@ class CdcEngine:
         # skip empty batches) AND every schema-change event with its batch —
         # schema events are rare, so this is a tiny driver-side list and
         # saves both a per-batch scan and a second upfront pass
-        meta_rows = (
-            events.groupBy("__batch")
-            .agg(
-                F.collect_list(
-                    F.when(
-                        F.col("op") == "schema_change",
-                        F.struct("lsn", "schema_change"),
-                    )
-                ).alias("sc"),
-                F.min("lsn").alias("lsn_lo"),
-            )
-            .collect()
+        # The upfront aggregation is per (batch, source_partition) and carries
+        # EVERYTHING the per-unit bookkeeping needs — event/validity counts,
+        # offset and LSN ranges, the affected-bucket set, and every schema-
+        # change event. Per-batch lineage then becomes a driver-side lookup,
+        # so a data unit costs exactly ONE Spark job (the merge) on the
+        # no-schema-change fast path; hot-key detection for ALL batches rides
+        # a single sampled job run concurrently with this one. (Round 2 ran
+        # one meta job plus a lineage job per batch — one extra full scan per
+        # batch, a per-unit fixed cost that capped N→4N scaling efficiency.)
+        snap0 = self.table.current()
+        bucket0 = self.table._bucket_expr(snap0.num_buckets, snap0.key_cols)
+        is_valid = (
+            F.col("repo").isNotNull() & F.col("path").isNotNull() & F.col("lsn").isNotNull()
         )
+        meta_q = events.groupBy("__batch", "source_partition").agg(
+            F.count(F.lit(1)).alias("events_in"),
+            F.count(F.when(is_valid, 1)).alias("rows"),
+            F.min(F.when(is_valid, F.col("source_offset"))).alias("offset_min"),
+            F.max(F.when(is_valid, F.col("source_offset"))).alias("offset_max"),
+            F.min(F.when(is_valid, F.col("lsn"))).alias("lsn_min"),
+            F.max(F.when(is_valid, F.col("lsn"))).alias("lsn_max"),
+            F.collect_set(F.when(is_valid, bucket0)).alias("buckets"),
+            F.collect_list(
+                F.when(
+                    F.col("op") == "schema_change",
+                    F.struct("lsn", "schema_change"),
+                )
+            ).alias("sc"),
+        )
+
+        run_hot = total >= self.hot_key_threshold  # a batch can't exceed total
+        hot_by_batch: dict[int, list[str]] = {}
+
+        def _detect_all_batches():
+            frac = self.hot_sample_fraction
+            src = events.filter(is_valid).select("__batch", "repo")
+            if frac < 1.0:
+                src = src.sample(fraction=frac, seed=7)
+                scale = 1.0 / frac
+            else:
+                scale = 1.0
+            rows = (
+                src.groupBy("__batch", "repo")
+                .count()
+                .filter(F.col("count") * scale > self.hot_key_threshold)
+                .collect()
+            )
+            out: dict[int, list[str]] = {}
+            for r in rows:
+                if r["repo"] is not None:
+                    out.setdefault(r["__batch"], []).append(r["repo"])
+            return {b: sorted(v) for b, v in out.items()}
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fut_meta = pool.submit(meta_q.collect)
+            fut_hot = pool.submit(_detect_all_batches) if run_hot else None
+            meta_rows = fut_meta.result()
+            if fut_hot is not None:
+                hot_by_batch = fut_hot.result()
+
         schema_events: dict[int, list] = {}
+        lineage_by_batch: dict[int, list] = {}
         for r in meta_rows:
             if r["sc"]:
-                schema_events[r["__batch"]] = sorted(r["sc"], key=lambda x: x["lsn"])
-        present = sorted(r["__batch"] for r in meta_rows)
+                schema_events.setdefault(r["__batch"], []).extend(r["sc"])
+            lineage_by_batch.setdefault(r["__batch"], []).append(r)
+        for b in schema_events:
+            schema_events[b] = sorted(schema_events[b], key=lambda x: x["lsn"])
+        present = sorted(lineage_by_batch)
 
         # REPLAY vs TAIL. The exactly-once guard skips units whose id is at
         # or below the table's last_batch_id — correct when this call REPLAYS
@@ -224,7 +277,13 @@ class CdcEngine:
         # outside the checkpoint contract — resume must re-derive the same
         # batching, exactly like resuming a Kafka offset checkpoint.)
         min_lsn = min(
-            (r["lsn_lo"] for r in meta_rows if r["lsn_lo"] is not None), default=None
+            (
+                x
+                for r in meta_rows
+                for x in ([r["lsn_min"]] + [s["lsn"] for s in (r["sc"] or [])])
+                if x is not None
+            ),
+            default=None,
         )
         prev_max = max(
             (
@@ -247,10 +306,13 @@ class CdcEngine:
         consumed = 0
         for b in present:
             batch = events.filter(F.col("__batch") == b).drop("__batch")
-            if cache_log:
+            schema_rows = sorted(schema_events.get(b, []), key=lambda r: r["lsn"])
+            # a no-schema-event batch is consumed by exactly one job (the
+            # merge) — caching it would cost a pass without saving one
+            batch_cached = cache_log and bool(schema_rows)
+            if batch_cached:
                 batch = batch.persist()
             try:
-                schema_rows = sorted(schema_events.get(b, []), key=lambda r: r["lsn"])
                 data = batch.filter(F.col("op").isin(*_DATA_OPS))
 
                 # split data at each schema-change LSN: sub-batch below the
@@ -258,6 +320,11 @@ class CdcEngine:
                 bounds = [r["lsn"] for r in schema_rows]
                 lows = [None] + bounds
                 highs = bounds + [None]
+                # fast path: a batch with no schema events is one unit whose
+                # lineage/stats/buckets were precomputed by the upfront job
+                # (the unit itself runs only the merge). Schema-split
+                # sub-batches recompute per sub-range (rare path).
+                whole_batch = not schema_rows
                 for i, (lo, hi) in enumerate(zip(lows, highs)):
                     sub = data
                     if lo is not None:
@@ -271,6 +338,8 @@ class CdcEngine:
                         # drives the skip-hot-key-detection short-circuit for
                         # small batches (the detector itself is authoritative)
                         approx_events=max(1, total // max(1, n_batches)),
+                        pre_lineage=lineage_by_batch[b] if whole_batch else None,
+                        pre_hot=hot_by_batch.get(b, []) if (whole_batch and run_hot) else None,
                     )
                     if m is not None:
                         manifests.append(m)
@@ -295,7 +364,7 @@ class CdcEngine:
                         )
                         consumed = min(total, consumed + 1)
             finally:
-                if cache_log:
+                if batch_cached:
                     batch.unpersist()
         if not already_cached:
             events.unpersist()
@@ -308,6 +377,8 @@ class CdcEngine:
         unit_id: int,
         lag_events: int | None,
         approx_events: int | None = None,
+        pre_lineage: list | None = None,
+        pre_hot: list[str] | None = None,
     ) -> dict | None:
         snap = self.table.current()
         if snap.last_batch_id >= unit_id:
@@ -330,41 +401,51 @@ class CdcEngine:
             )
             valid = data.filter(is_valid)
 
-            # ONE aggregation job yields per-partition lineage, the global
-            # validity stats (summed driver-side) AND the batch's affected
-            # bucket set (collect_set of the key hash — ≤ num_buckets values
-            # per group), which the merge consumes for file pruning without
-            # any job of its own. Hot-key detection — a different grouping —
-            # runs CONCURRENTLY in a driver thread: the per-unit fixed cost
-            # is max(two jobs), not their sum.
-            bucket = self.table._bucket_expr(snap.num_buckets, snap.key_cols)
-            lineage_q = data.groupBy("source_partition").agg(
-                F.count(F.lit(1)).alias("events_in"),
-                F.count(F.when(is_valid, 1)).alias("rows"),
-                F.min(F.when(is_valid, F.col("source_offset"))).alias("offset_min"),
-                F.max(F.when(is_valid, F.col("source_offset"))).alias("offset_max"),
-                F.min(F.when(is_valid, F.col("lsn"))).alias("lsn_min"),
-                F.max(F.when(is_valid, F.col("lsn"))).alias("lsn_max"),
-                F.collect_set(F.when(is_valid, bucket)).alias("buckets"),
-            )
-            from concurrent.futures import ThreadPoolExecutor
-
-            run_hot = approx_events is None or approx_events >= self.hot_key_threshold
-            with ThreadPoolExecutor(max_workers=2) as pool:
-                fut_lineage = pool.submit(lineage_q.collect)
-                fut_hot = (
-                    pool.submit(
-                        detect_hot_keys,
-                        valid,
-                        key_col="repo",
-                        sample_fraction=self.hot_sample_fraction,
-                        hot_threshold=self.hot_key_threshold,
-                    )
-                    if run_hot
-                    else None
+            if pre_lineage is not None:
+                # FAST PATH: lineage/stats/buckets and hot keys were computed
+                # by apply_log's single upfront aggregation (per batch AND
+                # source partition) — this unit runs exactly ONE Spark job,
+                # the merge itself.
+                lineage_rows = pre_lineage
+                hot: list[str] = pre_hot or []
+            else:
+                # standalone path (schema-split sub-batches, streaming epochs,
+                # direct calls): ONE aggregation job yields per-partition
+                # lineage, the global validity stats (summed driver-side) AND
+                # the batch's affected bucket set (collect_set of the key
+                # hash — ≤ num_buckets values per group), which the merge
+                # consumes for file pruning without any job of its own.
+                # Hot-key detection — a different grouping — runs CONCURRENTLY
+                # in a driver thread: the per-unit fixed cost is max(two
+                # jobs), not their sum.
+                bucket = self.table._bucket_expr(snap.num_buckets, snap.key_cols)
+                lineage_q = data.groupBy("source_partition").agg(
+                    F.count(F.lit(1)).alias("events_in"),
+                    F.count(F.when(is_valid, 1)).alias("rows"),
+                    F.min(F.when(is_valid, F.col("source_offset"))).alias("offset_min"),
+                    F.max(F.when(is_valid, F.col("source_offset"))).alias("offset_max"),
+                    F.min(F.when(is_valid, F.col("lsn"))).alias("lsn_min"),
+                    F.max(F.when(is_valid, F.col("lsn"))).alias("lsn_max"),
+                    F.collect_set(F.when(is_valid, bucket)).alias("buckets"),
                 )
-                lineage_rows = fut_lineage.result()
-                hot: list[str] = fut_hot.result() if fut_hot is not None else []
+                from concurrent.futures import ThreadPoolExecutor
+
+                run_hot = approx_events is None or approx_events >= self.hot_key_threshold
+                with ThreadPoolExecutor(max_workers=2) as pool:
+                    fut_lineage = pool.submit(lineage_q.collect)
+                    fut_hot = (
+                        pool.submit(
+                            detect_hot_keys,
+                            valid,
+                            key_col="repo",
+                            sample_fraction=self.hot_sample_fraction,
+                            hot_threshold=self.hot_key_threshold,
+                        )
+                        if run_hot
+                        else None
+                    )
+                    lineage_rows = fut_lineage.result()
+                    hot = fut_hot.result() if fut_hot is not None else []
             events_in = sum(r["events_in"] for r in lineage_rows)
             if events_in == 0:
                 return None
@@ -373,8 +454,14 @@ class CdcEngine:
             # exceed the hot-key threshold even when the average sits below
             # it. The actual batch size is now known: run the authoritative
             # detector sequentially as a fallback so such a batch still gets
-            # salted (skipping it regresses the skewed reduce).
-            if not run_hot and n_valid >= self.hot_key_threshold:
+            # salted (skipping it regresses the skewed reduce). (On the fast
+            # path detection is per-batch and already authoritative —
+            # hot_checked — and when it was skipped there, n_valid ≤ total <
+            # threshold, so the condition below stays False.)
+            hot_checked = (
+                pre_hot is not None if pre_lineage is not None else run_hot
+            )
+            if not hot_checked and n_valid >= self.hot_key_threshold:
                 hot = detect_hot_keys(
                     valid,
                     key_col="repo",
