@@ -186,25 +186,27 @@ def test_crash_resume_byte_identical(spark, tmp_path):
     )
 
 
-def test_hot_key_salting_matches_unsalted(spark, tmp_path):
+def test_hot_key_knobs_do_not_change_results(spark, tmp_path):
+    """Skew config is legacy: the decomposed LWW reduce needs no salting
+    (see cdc/reduce.py), so a skewed log applies identically under any
+    hot-key-threshold setting and reports hot_keys_salted == 0."""
     events_df = generate_event_log(spark, 3000, seed=13, n_repos=10,
                                    n_mega_repos=1, hot_fraction=0.6,
                                    paths_per_repo=5)
     rows = [r.asDict(recursive=True) for r in events_df.collect()]
     df = lambda: spark.createDataFrame(rows, EVENT_SCHEMA)  # noqa: E731
 
-    # forced salting: threshold 1 → every repo is "hot"
-    eng_salted = CdcEngine(spark, str(tmp_path / "salted"), num_buckets=4,
-                           hot_key_threshold=1, hot_sample_fraction=1.0)
-    eng_salted.apply_log(df(), events_per_batch=1000)
-    assert any(m["metrics"]["hot_keys_salted"] > 0 for m in eng_salted.manifests())
+    eng_a = CdcEngine(spark, str(tmp_path / "a"), num_buckets=4,
+                      hot_key_threshold=1, hot_sample_fraction=1.0)
+    eng_a.apply_log(df(), events_per_batch=1000)
+    assert all(m["metrics"]["hot_keys_salted"] == 0 for m in eng_a.manifests())
 
-    eng_plain = CdcEngine(spark, str(tmp_path / "plain"), num_buckets=4,
-                          hot_key_threshold=10**12)
-    eng_plain.apply_log(df(), events_per_batch=1000)
+    eng_b = CdcEngine(spark, str(tmp_path / "b"), num_buckets=4,
+                      hot_key_threshold=10**12)
+    eng_b.apply_log(df(), events_per_batch=1000)
 
-    s1 = {(r["repo"], r["path"]): r.asDict() for r in eng_salted.final_state().collect()}
-    s2 = {(r["repo"], r["path"]): r.asDict() for r in eng_plain.final_state().collect()}
+    s1 = {(r["repo"], r["path"]): r.asDict() for r in eng_a.final_state().collect()}
+    s2 = {(r["repo"], r["path"]): r.asDict() for r in eng_b.final_state().collect()}
     assert s1 == s2
 
 

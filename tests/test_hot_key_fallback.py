@@ -1,8 +1,9 @@
-"""Hot-key detection fallback (ADVICE r2): the cheap run-wide-average gate
-(approx_events) can skip detection for a run whose AVERAGE batch is small,
-yet a single skewed batch may still exceed the hot-key threshold — the
-engine must then fall back to the authoritative per-batch detector so the
-skewed reduce still gets salted."""
+"""Skew handling: the decomposed LWW reduce (max(lsn) HashAggregate →
+candidate join → tiny tie-break) makes hot keys structurally benign — the
+only full-batch aggregation has a primitive buffer whose map-side combine
+collapses a hot key to one row per input partition before any shuffle. No
+salting, no detection job; a pathologically skewed batch must still apply
+correctly and report hot_keys_salted == 0."""
 
 from translator_ingests_spark.cdc import CdcEngine, EVENT_SCHEMA
 
@@ -19,34 +20,35 @@ def _events(n, repo="mega"):
     ]
 
 
-def test_skewed_batch_salted_despite_small_run_average(spark, tmp_path):
+def test_skewed_batch_applies_without_salting(spark, tmp_path):
     eng = CdcEngine(
         spark,
         str(tmp_path / "cdc"),
         num_buckets=4,
-        hot_key_threshold=100,
-        hot_sample_fraction=1.0,  # deterministic full count at test size
+        hot_key_threshold=100,  # legacy knob — must have no effect
     )
     eng.init_table()
+    # 200 events, ALL in one repo — far past any hot threshold
     batch = spark.createDataFrame(_events(200), EVENT_SCHEMA)
-    # approx_events=10 simulates a run whose average batch is far below the
-    # threshold (run_hot short-circuit False) while THIS batch holds 200
-    # events of one repo — the fallback must detect and salt it
-    m = eng._apply_data_unit(batch, unit_id=0, lag_events=200, approx_events=10)
+    m = eng._apply_data_unit(batch, unit_id=0, lag_events=200)
     assert m is not None
-    assert m["metrics"]["hot_keys_salted"] == 1
+    assert m["metrics"]["hot_keys_salted"] == 0
     assert eng.final_state().count() == 200
 
 
-def test_small_batch_below_threshold_not_salted(spark, tmp_path):
-    eng = CdcEngine(
-        spark,
-        str(tmp_path / "cdc"),
-        num_buckets=4,
-        hot_key_threshold=100,
-        hot_sample_fraction=1.0,
-    )
+def test_skewed_updates_keep_lww_semantics(spark, tmp_path):
+    """Every event of the batch targets the SAME key: the survivor must be
+    the max-LSN row even though the whole group lands on one reducer path."""
+    eng = CdcEngine(spark, str(tmp_path / "cdc"), num_buckets=4)
     eng.init_table()
-    batch = spark.createDataFrame(_events(50), EVENT_SCHEMA)
-    m = eng._apply_data_unit(batch, unit_id=0, lag_events=50, approx_events=10)
-    assert m["metrics"]["hot_keys_salted"] == 0
+    rows = _events(150)
+    for r in rows:
+        r["path"] = "only.py"  # one single (repo, path) key
+        r["content"] = f"v{r['lsn']}"
+    batch = spark.createDataFrame(rows, EVENT_SCHEMA)
+    m = eng._apply_data_unit(batch, unit_id=0, lag_events=150)
+    assert m is not None
+    state = eng.final_state().collect()
+    assert len(state) == 1
+    assert state[0]["last_lsn"] == 149
+    assert state[0]["content"] == "v149"

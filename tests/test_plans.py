@@ -41,22 +41,33 @@ def test_semi_and_anti_joins_stay_semi(spark):
     assert "LeftAnti" in p2
 
 
-def test_lww_reduce_is_single_partial_agg_shuffle(spark):
+def test_lww_reduce_plan_is_primitive_hashagg_plus_join(spark):
+    """The reduce's only full-batch aggregation must be a HashAggregate over
+    a primitive max(lsn) buffer (whole-stage codegen + map-side combine — the
+    scale path); the variable-buffer max_by tie-break runs only over the
+    joined candidates. The full event rows themselves must never feed an
+    Exchange: the two hash exchanges carry winners and candidates only."""
     log = generate_event_log(spark, 1000, seed=3)
     red = lww_reduce(log, keys=["repo", "path"])
     plan = plan_of(red)
-    # partial max_by before the exchange, final after: exactly one shuffle
-    assert plan.count("Exchange hashpartitioning") == 1
-    assert plan.count("max_by") >= 2  # partial_max_by + max_by
-
-
-def test_lww_reduce_salted_two_phase(spark):
-    log = generate_event_log(spark, 1000, seed=3)
-    red = lww_reduce(log, keys=["repo", "path"], hot_keys=["org/mega-repo-000"],
-                     salt_buckets=8)
-    plan = plan_of(red)
-    # two aggregation rounds (salted then final)
+    assert "HashAggregate" in plan and "max(lsn" in plan
+    assert plan.count("max_by") >= 2  # partial + final tie-break
+    # winners agg + candidates agg; the events side joins via broadcast or
+    # shuffled-hash chosen by AQE — either way no third full-data exchange
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_lww_reduce_hot_keys_arg_is_plan_noop(spark):
+    log = generate_event_log(spark, 1000, seed=3)
+    import re
+
+    strip_ids = lambda p: re.sub(r"#\d+|plan_id=\d+", "#", p)  # noqa: E731
+    p1 = strip_ids(plan_of(lww_reduce(log, keys=["repo", "path"])))
+    p2 = strip_ids(plan_of(lww_reduce(log, keys=["repo", "path"],
+                                      hot_keys=["org/mega-repo-000"],
+                                      salt_buckets=8)))
+    assert p1 == p2
+    assert "__salt" not in p2
 
 
 def test_reader_filter_pushdown_counts_as_scan_filter(spark):

@@ -3,8 +3,8 @@
 Micro-batch driver loop (``Trigger.AvailableNow``-style batch-over-log):
 per batch it (1) validates events, (2) splits at schema-change events and
 applies those to the table schema *before* the dependent data sub-batch,
-(3) reduces each key to its max-LSN survivor (within-batch LWW, hot keys
-salted), (4) derives the vectorized content plane (normalization +
+(3) reduces each key to its max-LSN survivor (within-batch LWW; skew is
+benign — see cdc/reduce.py), (4) derives the vectorized content plane (normalization +
 content_sha256), (5) executes one idempotent bucket-pruned MERGE, and
 (6) records a checkpoint manifest (source offsets, applied LSN range,
 code hash, per-partition lineage, throughput metrics).
@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from translator_ingests_spark.cdc.reduce import detect_hot_keys, lww_reduce
+from translator_ingests_spark.cdc.reduce import lww_reduce
 from translator_ingests_spark.functions.content import content_digest, normalize_content
 from translator_ingests_spark.lake.table import LakeSchema, LakeTable, _SPARK_TYPES
 
@@ -198,10 +198,11 @@ class CdcEngine:
         # offset and LSN ranges, the affected-bucket set, and every schema-
         # change event. Per-batch lineage then becomes a driver-side lookup,
         # so a data unit costs exactly ONE Spark job (the merge) on the
-        # no-schema-change fast path; hot-key detection for ALL batches rides
-        # a single sampled job run concurrently with this one. (Round 2 ran
-        # one meta job plus a lineage job per batch — one extra full scan per
-        # batch, a per-unit fixed cost that capped N→4N scaling efficiency.)
+        # no-schema-change fast path. (Round 2 ran one meta job plus a
+        # lineage job per batch — one extra full scan per batch, a per-unit
+        # fixed cost that capped N→4N scaling efficiency. Hot-key detection
+        # ran here too until lww_reduce's phase-1 max(lsn) made skew benign
+        # via map-side combine — no salting, so nothing to detect.)
         snap0 = self.table.current()
         bucket0 = self.table._bucket_expr(snap0.num_buckets, snap0.key_cols)
         is_valid = (
@@ -223,37 +224,7 @@ class CdcEngine:
             ).alias("sc"),
         )
 
-        run_hot = total >= self.hot_key_threshold  # a batch can't exceed total
-        hot_by_batch: dict[int, list[str]] = {}
-
-        def _detect_all_batches():
-            frac = self.hot_sample_fraction
-            src = events.filter(is_valid).select("__batch", "repo")
-            if frac < 1.0:
-                src = src.sample(fraction=frac, seed=7)
-                scale = 1.0 / frac
-            else:
-                scale = 1.0
-            rows = (
-                src.groupBy("__batch", "repo")
-                .count()
-                .filter(F.col("count") * scale > self.hot_key_threshold)
-                .collect()
-            )
-            out: dict[int, list[str]] = {}
-            for r in rows:
-                if r["repo"] is not None:
-                    out.setdefault(r["__batch"], []).append(r["repo"])
-            return {b: sorted(v) for b, v in out.items()}
-
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            fut_meta = pool.submit(meta_q.collect)
-            fut_hot = pool.submit(_detect_all_batches) if run_hot else None
-            meta_rows = fut_meta.result()
-            if fut_hot is not None:
-                hot_by_batch = fut_hot.result()
+        meta_rows = meta_q.collect()
 
         schema_events: dict[int, list] = {}
         lineage_by_batch: dict[int, list] = {}
@@ -335,11 +306,7 @@ class CdcEngine:
                         sub,
                         unit_id,
                         lag_events=total - consumed,
-                        # drives the skip-hot-key-detection short-circuit for
-                        # small batches (the detector itself is authoritative)
-                        approx_events=max(1, total // max(1, n_batches)),
                         pre_lineage=lineage_by_batch[b] if whole_batch else None,
-                        pre_hot=hot_by_batch.get(b, []) if (whole_batch and run_hot) else None,
                     )
                     if m is not None:
                         manifests.append(m)
@@ -376,9 +343,7 @@ class CdcEngine:
         data: DataFrame,
         unit_id: int,
         lag_events: int | None,
-        approx_events: int | None = None,
         pre_lineage: list | None = None,
-        pre_hot: list[str] | None = None,
     ) -> dict | None:
         snap = self.table.current()
         if snap.last_batch_id >= unit_id:
@@ -402,12 +367,11 @@ class CdcEngine:
             valid = data.filter(is_valid)
 
             if pre_lineage is not None:
-                # FAST PATH: lineage/stats/buckets and hot keys were computed
-                # by apply_log's single upfront aggregation (per batch AND
+                # FAST PATH: lineage/stats/buckets were computed by
+                # apply_log's single upfront aggregation (per batch AND
                 # source partition) — this unit runs exactly ONE Spark job,
                 # the merge itself.
                 lineage_rows = pre_lineage
-                hot: list[str] = pre_hot or []
             else:
                 # standalone path (schema-split sub-batches, streaming epochs,
                 # direct calls): ONE aggregation job yields per-partition
@@ -415,11 +379,8 @@ class CdcEngine:
                 # the batch's affected bucket set (collect_set of the key
                 # hash — ≤ num_buckets values per group), which the merge
                 # consumes for file pruning without any job of its own.
-                # Hot-key detection — a different grouping — runs CONCURRENTLY
-                # in a driver thread: the per-unit fixed cost is max(two
-                # jobs), not their sum.
                 bucket = self.table._bucket_expr(snap.num_buckets, snap.key_cols)
-                lineage_q = data.groupBy("source_partition").agg(
+                lineage_rows = data.groupBy("source_partition").agg(
                     F.count(F.lit(1)).alias("events_in"),
                     F.count(F.when(is_valid, 1)).alias("rows"),
                     F.min(F.when(is_valid, F.col("source_offset"))).alias("offset_min"),
@@ -427,47 +388,11 @@ class CdcEngine:
                     F.min(F.when(is_valid, F.col("lsn"))).alias("lsn_min"),
                     F.max(F.when(is_valid, F.col("lsn"))).alias("lsn_max"),
                     F.collect_set(F.when(is_valid, bucket)).alias("buckets"),
-                )
-                from concurrent.futures import ThreadPoolExecutor
-
-                run_hot = approx_events is None or approx_events >= self.hot_key_threshold
-                with ThreadPoolExecutor(max_workers=2) as pool:
-                    fut_lineage = pool.submit(lineage_q.collect)
-                    fut_hot = (
-                        pool.submit(
-                            detect_hot_keys,
-                            valid,
-                            key_col="repo",
-                            sample_fraction=self.hot_sample_fraction,
-                            hot_threshold=self.hot_key_threshold,
-                        )
-                        if run_hot
-                        else None
-                    )
-                    lineage_rows = fut_lineage.result()
-                    hot = fut_hot.result() if fut_hot is not None else []
+                ).collect()
             events_in = sum(r["events_in"] for r in lineage_rows)
             if events_in == 0:
                 return None
             n_valid = sum(r["rows"] for r in lineage_rows)
-            # approx_events is the RUN-WIDE average — a skewed batch can
-            # exceed the hot-key threshold even when the average sits below
-            # it. The actual batch size is now known: run the authoritative
-            # detector sequentially as a fallback so such a batch still gets
-            # salted (skipping it regresses the skewed reduce). (On the fast
-            # path detection is per-batch and already authoritative —
-            # hot_checked — and when it was skipped there, n_valid ≤ total <
-            # threshold, so the condition below stays False.)
-            hot_checked = (
-                pre_hot is not None if pre_lineage is not None else run_hot
-            )
-            if not hot_checked and n_valid >= self.hot_key_threshold:
-                hot = detect_hot_keys(
-                    valid,
-                    key_col="repo",
-                    sample_fraction=self.hot_sample_fraction,
-                    hot_threshold=self.hot_key_threshold,
-                )
             affected_buckets = sorted(
                 {b for r in lineage_rows for b in (r["buckets"] or [])}
             )
@@ -491,18 +416,16 @@ class CdcEngine:
                 key=lambda d: (d["partition"] is None, d["partition"]),
             )
 
-            reduced = lww_reduce(
-                valid,
-                keys=["repo", "path"],
-                hot_keys=hot,
-                salt_buckets=self.salt_buckets,
-            )
+            reduced = lww_reduce(valid, keys=["repo", "path"])
 
             source = self._derive_columns(reduced, snap)
             metrics = {
                 "events_in": int(events_in),
                 "invalid_events": int(events_in - n_valid),
-                "hot_keys_salted": len(hot),
+                # retained in the manifest schema for compatibility; always 0
+                # since lww_reduce's primitive-buffer phase-1 made explicit
+                # salting unnecessary (map-side combine collapses hot keys)
+                "hot_keys_salted": 0,
             }
             merge_stats: dict = {}
             new_snap = self.table.merge(

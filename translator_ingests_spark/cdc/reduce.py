@@ -8,15 +8,15 @@ group-dedup patterns at /root/reference/src/translator_ingest/ingests/hpoa/hpoa.
 and string.py:126-139.
 
 Skew: a mega-repo carrying ~50% of a batch's events would send one giant
-group to a single reducer. Spark's hash aggregate already does map-side
-partial aggregation (each task pre-reduces its slice of the hot key), which
-bounds the skew for this *aggregation*; we additionally support an explicit
-two-phase salted reduce — phase 1 groups on ``(key, salt)`` where
-``salt = pmod(xxhash64(lsn), salt_buckets)`` for detected hot repos, phase 2
-re-reduces per key — which is the pattern that generalizes to agg functions
-without cheap partial merge (reference analog: hot-edge capping at
-semmeddb.py:200-233, except we must preserve the winner exactly, so
-salt+re-reduce, never cap).
+group to a single reducer. The decomposed plan (see ``lww_reduce``) makes
+that structurally benign: the only aggregation over the full batch is a
+``max(lsn)`` with a primitive buffer, whose map-side partial aggregation
+collapses a hot key to one row per input partition before the shuffle —
+explicit salting (phase-1 group on ``(key, salt)``, phase-2 re-reduce) is
+therefore no longer needed and the ``hot_keys`` argument is advisory-only.
+The candidate join skew is handled by AQE skew-join splitting (reference
+analog: hot-edge capping at semmeddb.py:200-233, except we must preserve
+the winner exactly, so reduce, never cap).
 """
 
 from __future__ import annotations
@@ -70,10 +70,31 @@ def lww_reduce(
 ) -> DataFrame:
     """Reduce to one row per key: the max-(lsn, op_rank, hash) survivor.
 
-    Uses ``max_by(struct(all columns), struct(order))`` so the whole row of
-    the winner survives in a single (map-side-combinable) aggregation.
-    When ``hot_keys`` is non-empty, runs the two-phase salted variant.
+    Plan shape (the 100-TB design): a single ``max_by(struct(all columns),
+    struct(order))`` aggregation carries a *variable-length* buffer (the
+    whole candidate row), which Spark can only execute as a SortAggregate —
+    a full sort of every event in the batch. Profiled at 12M events that
+    sort dominates the map leg and its allocation churn is the one part of
+    the engine whose CPU *inflates* with executor-thread count. So the
+    reduce is decomposed into primitive-buffer aggregations:
+
+    1. ``winners = df.groupBy(keys).agg(max(lsn))`` — HashAggregate over a
+       LONG buffer: whole-stage codegen, map-side combine (hot keys collapse
+       per input partition *before* the shuffle, so no salting is needed),
+       and the shuffle carries one tiny row per (input partition, key).
+    2. ``candidates = df ⋈ winners on keys, lsn <=> winning lsn`` — AQE
+       picks a broadcast join when the per-batch key count is small (the
+       event rows then never shuffle at all) and a shuffled-hash join with
+       skew splitting when it isn't.
+    3. One ``max_by`` tie-break over the candidates — at most the few rows
+       per key that share the winning LSN, so the unavoidable SortAggregate
+       runs on ~|keys| rows, not |events|. The xxhash64 tie hash is also
+       only computed here, never over the full batch.
+
+    ``hot_keys``/``salt_buckets`` are retained for API stability but no
+    longer alter the plan: phase 1's map-side combine is the salting.
     """
+    del hot_keys, salt_buckets  # structurally unnecessary, see docstring
     cols = df.columns
     # xxhash64 doesn't accept MapType columns — exclude them from the tie hash
     from pyspark.sql.types import MapType
@@ -82,35 +103,21 @@ def lww_reduce(
         f.name for f in df.schema.fields
         if f.name != lsn_col and not isinstance(f.dataType, MapType)
     ]
+    winners = df.groupBy(*keys).agg(F.max(F.col(lsn_col)).alias("__wl"))
+    w = winners.alias("__w")
+    d = df.alias("__d")
+    # null-safe on the keys AND the lsn so all-null-LSN keys still reduce
+    # (groupBy treats null as a group; the join must agree)
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & F.col(f"__d.{k}").eqNullSafe(F.col(f"__w.{k}"))
+    cond = cond & F.col(f"__d.{lsn_col}").eqNullSafe(F.col("__w.__wl"))
+    cand = d.join(w, cond, "inner").select([F.col(f"__d.{c}") for c in cols])
+
     payload = F.struct(*[F.col(c) for c in cols]).alias("__row")
     order = F.struct(
-        F.col(lsn_col).alias("o1"),
-        _op_rank(op_col).alias("o2"),
-        F.xxhash64(*[F.col(c) for c in hashable]).alias("o3"),
+        _op_rank(op_col).alias("o1"),
+        F.xxhash64(*[F.col(c) for c in hashable]).alias("o2"),
     )
-
-    if hot_keys:
-        salt = F.when(
-            F.col(keys[0]).isin(hot_keys),
-            F.pmod(F.xxhash64(F.col(lsn_col)), F.lit(salt_buckets)),
-        ).otherwise(F.lit(0)).alias("__salt")
-        phase1 = (
-            df.select(*cols, salt)
-            .groupBy(*keys, "__salt")
-            .agg(F.max_by(payload, order).alias("__row"))
-        )
-        # re-expand order columns from the surviving row for phase 2
-        p1 = phase1.select(
-            *keys,
-            F.col("__row"),
-            F.col(f"__row.{lsn_col}").alias("__o1"),
-            F.col(f"__row.{op_col}").alias("__op_tmp"),
-            F.xxhash64(*[F.col(f"__row.{c}") for c in hashable]).alias("__o3"),
-        ).withColumn("__o2", _op_rank("__op_tmp"))
-        reduced = p1.groupBy(*keys).agg(
-            F.max_by(F.col("__row"), F.struct("__o1", "__o2", "__o3")).alias("__row")
-        )
-    else:
-        reduced = df.groupBy(*keys).agg(F.max_by(payload, order).alias("__row"))
-
+    reduced = cand.groupBy(*keys).agg(F.max_by(payload, order).alias("__row"))
     return reduced.select(*[F.col(f"__row.{c}").alias(c) for c in cols])
