@@ -98,6 +98,8 @@ if "," in spec:
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
         .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
         # multi-executor locals: don't stall task launch waiting for
         # block locality on a single-host "cluster"
         .config("spark.locality.wait", "0"))

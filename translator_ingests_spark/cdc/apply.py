@@ -203,11 +203,16 @@ class CdcEngine:
         # fixed cost that capped N→4N scaling efficiency. Hot-key detection
         # ran here too until lww_reduce's phase-1 max(lsn) made skew benign
         # via map-side combine — no salting, so nothing to detect.)
-        snap0 = self.table.current()
-        bucket0 = self.table._bucket_expr(snap0.num_buckets, snap0.key_cols)
         is_valid = (
             F.col("repo").isNotNull() & F.col("path").isNotNull() & F.col("lsn").isNotNull()
         )
+        # Every aggregate here is a primitive-buffer DeclarativeAggregate so
+        # the whole pass stays inside whole-stage-codegen HashAggregate.
+        # (collect_set/collect_list would demote the pass to
+        # ObjectHashAggregate — interpreted, boxing per row; profiled 5.8×
+        # thread-CPU inflation at 8 cores on 48M events. The bucket set now
+        # derives from the per-batch winners table and schema events from the
+        # pushed-down filter scan below.)
         meta_q = events.groupBy("__batch", "source_partition").agg(
             F.count(F.lit(1)).alias("events_in"),
             F.count(F.when(is_valid, 1)).alias("rows"),
@@ -215,25 +220,34 @@ class CdcEngine:
             F.max(F.when(is_valid, F.col("source_offset"))).alias("offset_max"),
             F.min(F.when(is_valid, F.col("lsn"))).alias("lsn_min"),
             F.max(F.when(is_valid, F.col("lsn"))).alias("lsn_max"),
-            F.collect_set(F.when(is_valid, bucket0)).alias("buckets"),
-            F.collect_list(
-                F.when(
-                    F.col("op") == "schema_change",
-                    F.struct("lsn", "schema_change"),
-                )
-            ).alias("sc"),
         )
 
-        meta_rows = meta_q.collect()
+        # schema-change events: a column-pruned filter scan (predicate
+        # reaches the reader; virtually no rows match) — run CONCURRENTLY
+        # with the meta aggregation so the per-run fixed cost is max(two
+        # jobs), not their sum
+        schema_q = events.filter(F.col("op") == "schema_change").select(
+            "__batch", "lsn", "schema_change"
+        )
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fut_meta = pool.submit(meta_q.collect)
+            fut_schema = pool.submit(schema_q.collect)
+            meta_rows = fut_meta.result()
+            schema_rows_all = fut_schema.result()
 
         schema_events: dict[int, list] = {}
-        lineage_by_batch: dict[int, list] = {}
-        for r in meta_rows:
-            if r["sc"]:
-                schema_events.setdefault(r["__batch"], []).extend(r["sc"])
-            lineage_by_batch.setdefault(r["__batch"], []).append(r)
+        for r in schema_rows_all:
+            schema_events.setdefault(r["__batch"], []).append(r)
         for b in schema_events:
             schema_events[b] = sorted(schema_events[b], key=lambda x: x["lsn"])
+        lineage_by_batch: dict[int, list] = {}
+        for r in meta_rows:
+            lineage_by_batch.setdefault(r["__batch"], []).append(r)
+        # every batch with any event (schema events included) has a meta row
+        # — events_in counts all ops — so meta alone determines presence
         present = sorted(lineage_by_batch)
 
         # REPLAY vs TAIL. The exactly-once guard skips units whose id is at
@@ -250,8 +264,10 @@ class CdcEngine:
         min_lsn = min(
             (
                 x
-                for r in meta_rows
-                for x in ([r["lsn_min"]] + [s["lsn"] for s in (r["sc"] or [])])
+                for x in (
+                    [r["lsn_min"] for r in meta_rows]
+                    + [s["lsn"] for s in schema_rows_all]
+                )
                 if x is not None
             ),
             default=None,
@@ -376,10 +392,10 @@ class CdcEngine:
                 # standalone path (schema-split sub-batches, streaming epochs,
                 # direct calls): ONE aggregation job yields per-partition
                 # lineage, the global validity stats (summed driver-side) AND
-                # the batch's affected bucket set (collect_set of the key
-                # hash — ≤ num_buckets values per group), which the merge
-                # consumes for file pruning without any job of its own.
-                bucket = self.table._bucket_expr(snap.num_buckets, snap.key_cols)
+                # purely primitive buffers: the pass stays inside
+                # whole-stage-codegen HashAggregate (see apply_log's meta
+                # aggregation comment; the bucket set derives from the
+                # winners table below).
                 lineage_rows = data.groupBy("source_partition").agg(
                     F.count(F.lit(1)).alias("events_in"),
                     F.count(F.when(is_valid, 1)).alias("rows"),
@@ -387,15 +403,11 @@ class CdcEngine:
                     F.max(F.when(is_valid, F.col("source_offset"))).alias("offset_max"),
                     F.min(F.when(is_valid, F.col("lsn"))).alias("lsn_min"),
                     F.max(F.when(is_valid, F.col("lsn"))).alias("lsn_max"),
-                    F.collect_set(F.when(is_valid, bucket)).alias("buckets"),
                 ).collect()
             events_in = sum(r["events_in"] for r in lineage_rows)
             if events_in == 0:
                 return None
             n_valid = sum(r["rows"] for r in lineage_rows)
-            affected_buckets = sorted(
-                {b for r in lineage_rows for b in (r["buckets"] or [])}
-            )
             lsn_min = min((r["lsn_min"] for r in lineage_rows if r["lsn_min"] is not None),
                           default=None)
             lsn_max = max((r["lsn_max"] for r in lineage_rows if r["lsn_max"] is not None),
@@ -416,7 +428,32 @@ class CdcEngine:
                 key=lambda d: (d["partition"] is None, d["partition"]),
             )
 
-            reduced = lww_reduce(valid, keys=["repo", "path"])
+            # Materialize the LWW phase-1 winners eagerly (small: one
+            # (key, max lsn) row per key, column-pruned scan) and take ONE
+            # tiny aggregation over the cached rows. Three birds: the exact
+            # key count gates the broadcast of the winners into the candidate
+            # join (≤1M winner rows ≈ tens of MB — event rows then never
+            # shuffle; above that the planner's shuffled-hash + AQE skew path
+            # stands); the affected-bucket set for merge file pruning comes
+            # from |keys| rows instead of a full-scan collect_set; and the
+            # merge job reuses the cached winners instead of re-aggregating
+            # the events.
+            winners = valid.groupBy(*snap.key_cols).agg(
+                F.max(F.col("lsn")).alias("__wl")
+            ).persist()
+            bucket = self.table._bucket_expr(snap.num_buckets, snap.key_cols)
+            wstats = winners.agg(
+                F.count(F.lit(1)).alias("n_keys"),
+                F.collect_set(bucket).alias("buckets"),
+            ).collect()[0]
+            n_keys = wstats["n_keys"]
+            affected_buckets = sorted(wstats["buckets"] or [])
+            reduced = lww_reduce(
+                valid,
+                keys=list(snap.key_cols),
+                broadcast_winners=n_keys <= 1_000_000,
+                winners=winners,
+            )
 
             source = self._derive_columns(reduced, snap)
             metrics = {
@@ -448,6 +485,7 @@ class CdcEngine:
                 use_observation=self._delivery != "stream",
                 delivery=self._delivery,
             )
+            winners.unpersist()
             elapsed = max(time.monotonic() - t0, 1e-9)
             n_red = merge_stats.get("rows", 0)
             n_del = merge_stats.get("deletes", 0)

@@ -67,6 +67,8 @@ def lww_reduce(
     op_col: str = "op",
     hot_keys: list[str] | None = None,
     salt_buckets: int = 32,
+    broadcast_winners: bool | None = None,
+    winners: DataFrame | None = None,
 ) -> DataFrame:
     """Reduce to one row per key: the max-(lsn, op_rank, hash) survivor.
 
@@ -91,6 +93,20 @@ def lww_reduce(
        runs on ~|keys| rows, not |events|. The xxhash64 tie hash is also
        only computed here, never over the full batch.
 
+    ``broadcast_winners`` gates an explicit broadcast hint on the winners
+    side. AQE *can* convert the join to broadcast at runtime, but only after
+    materializing both child exchanges — by which time the (1000× larger)
+    event exchange has already been written. A caller that KNOWS the batch's
+    key cardinality (the CDC engine's upfront lineage aggregation carries an
+    approx_count_distinct of the key hash) passes True to skip that exchange
+    in the static plan; None leaves the decision to the planner.
+
+    ``winners`` optionally supplies a precomputed (and typically persisted)
+    phase-1 result with schema ``keys + __wl`` — the CDC engine materializes
+    it once per batch to take its exact count for the broadcast gate, and
+    passing it here lets the merge job reuse the cached rows instead of
+    re-aggregating the events.
+
     ``hot_keys``/``salt_buckets`` are retained for API stability but no
     longer alter the plan: phase 1's map-side combine is the salting.
     """
@@ -103,7 +119,10 @@ def lww_reduce(
         f.name for f in df.schema.fields
         if f.name != lsn_col and not isinstance(f.dataType, MapType)
     ]
-    winners = df.groupBy(*keys).agg(F.max(F.col(lsn_col)).alias("__wl"))
+    if winners is None:
+        winners = df.groupBy(*keys).agg(F.max(F.col(lsn_col)).alias("__wl"))
+    if broadcast_winners:
+        winners = F.broadcast(winners)
     w = winners.alias("__w")
     d = df.alias("__d")
     # null-safe on the keys AND the lsn so all-null-LSN keys still reduce

@@ -51,6 +51,14 @@ def get_spark(
         # wide rows (KB-scale content) make sort-merge joins sort-bound;
         # shuffled-hash joins skip the sort entirely
         .config("spark.sql.join.preferSortMergeJoin", "false")
+        # the LWW reduce joins the full event stream against a winners table
+        # of one tiny row per key; broadcasting winners avoids shuffling the
+        # (1000x larger) event rows at all. The 10m default refuses at
+        # ~100k keys — 64m covers per-batch key counts into the millions,
+        # while genuinely huge batches still fall back to a skew-split
+        # shuffled-hash join (the correct 100-TB behavior).
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
