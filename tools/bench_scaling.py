@@ -235,7 +235,7 @@ def main():
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
         fh.write(f"""# BENCH/BASELINE — scaling evidence (N vs 4N executors)
 
-Same job (full CDC apply loop: validate → salted LWW reduce → vectorized
+Same job (full CDC apply loop: validate → broadcast-winners LWW reduce → vectorized
 content plane → tombstoned file-pruned MERGE → checkpoint manifests), same
 input ({src_desc}), {n_batches} micro-batches, two cluster sizes in fresh
 processes — per the driver instruction, the sandbox stand-in for N vs 4N

@@ -26,22 +26,48 @@ sys.path.insert(0, __REPO__)
 from translator_ingests_spark.session import get_spark
 from translator_ingests_spark.cdc.apply import CdcEngine
 
-cores = int(sys.argv[1]); source = sys.argv[2]; n_batches = int(sys.argv[3])
+spec = sys.argv[1]; source = sys.argv[2]; n_batches = int(sys.argv[3])
 evlog = sys.argv[4]
 GC = "-XX:+UnlockExperimentalVMOptions -XX:G1NewSizePercent=50 -XX:G1MaxNewSizePercent=70"
-os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
-spark = get_spark(
-    "profscale", cores=cores, shuffle_partitions=64,
-    extra_conf={
-        "spark.driver.extraJavaOptions": GC,
-        "spark.eventLog.enabled": "true",
-        "spark.eventLog.dir": "file://" + evlog,
-        "spark.eventLog.compress": "false",
-        "spark.eventLog.rolling.enabled": "false",
-        **({"spark.local.dir": os.environ["PROF_LOCAL_DIR"]}
-           if os.environ.get("PROF_LOCAL_DIR") else {}),
-    },
-)
+EVCONF = {
+    "spark.eventLog.enabled": "true",
+    "spark.eventLog.dir": "file://" + evlog,
+    "spark.eventLog.compress": "false",
+    "spark.eventLog.rolling.enabled": "false",
+    **({"spark.local.dir": os.environ["PROF_LOCAL_DIR"]}
+       if os.environ.get("PROF_LOCAL_DIR") else {}),
+}
+if "," in spec:
+    # local-cluster[k,c,mem]: real executor JVMs
+    k, c, _mem = spec.split(",")
+    cores = int(k) * int(c)
+    from pyspark.sql import SparkSession
+    builder = (SparkSession.builder.master(f"local-cluster[{spec}]")
+        .appName("profscale")
+        .config("spark.executor.memory", f"{int(_mem) - 2048}m")
+        .config("spark.executor.extraJavaOptions", GC)
+        .config("spark.driver.memory", "8g")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+        .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
+        .config("spark.locality.wait", "0"))
+    for kk, vv in EVCONF.items():
+        builder = builder.config(kk, vv)
+    spark = builder.getOrCreate()
+else:
+    cores = int(spec)
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+    spark = get_spark(
+        "profscale", cores=cores, shuffle_partitions=64,
+        extra_conf={"spark.driver.extraJavaOptions": GC, **EVCONF},
+    )
 spark.sparkContext.setLogLevel("ERROR")
 
 from translator_ingests_spark.cdc.generator import generate_event_log
@@ -77,12 +103,12 @@ spark.stop()
 """
 
 
-def run_level(cores: int, source: str, n_batches: int) -> tuple[dict, dict]:
-    evlog = tempfile.mkdtemp(prefix=f"evlog{cores}_")
+def run_level(spec: str, pin: int, source: str, n_batches: int) -> tuple[dict, dict]:
+    evlog = tempfile.mkdtemp(prefix=f"evlog{pin}_")
     script = CHILD.replace("__REPO__", repr(REPO))
     cmd = [
-        "taskset", "-c", f"0-{cores - 1}", sys.executable, "-c", script,
-        str(cores), source, str(n_batches), evlog,
+        "taskset", "-c", f"0-{pin - 1}", sys.executable, "-c", script,
+        spec, source, str(n_batches), evlog,
     ]
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=3000)
     lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
@@ -176,10 +202,12 @@ def main():
     source = sys.argv[1] if len(sys.argv) > 1 else "12000000x2"
     c = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     n_batches = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+    mode = sys.argv[4] if len(sys.argv) > 4 else "threads"
 
     results = {}
     for cores in (c, 4 * c):
-        head, stages = run_level(cores, source, n_batches)
+        spec = f"{cores // c},{c},10240" if mode == "cluster" else str(cores)
+        head, stages = run_level(spec, cores, source, n_batches)
         results[cores] = (head, stages)
         tot_cpu = sum(d["cpu_ms"] for d in stages.values()) / 1000
         tot_gc = sum(d["gc_ms"] for d in stages.values()) / 1000
