@@ -57,6 +57,19 @@ def test_lww_reduce_plan_is_primitive_hashagg_plus_join(spark):
     assert plan.count("Exchange hashpartitioning") == 2
 
 
+def test_lww_reduce_no_full_data_sort_or_object_agg(spark):
+    """The full-data path must stay on codegen HashAggregate: the only
+    SortAggregates in the reduce are the max_by tie-break pair over the
+    post-join candidates (~1 row/key), never over the raw events, and no
+    ObjectHashAggregate (interpreted, boxes per row) may appear at all."""
+    log = generate_event_log(spark, 1000, seed=3)
+    plan = plan_of(lww_reduce(log, keys=["repo", "path"]))
+    assert "ObjectHashAggregate" not in plan
+    sort_aggs = [l for l in plan.splitlines() if "SortAggregate" in l]
+    assert len(sort_aggs) == 2  # partial + final tie-break only
+    assert all("max_by" in l for l in sort_aggs)
+
+
 def test_lww_reduce_hot_keys_arg_is_plan_noop(spark):
     log = generate_event_log(spark, 1000, seed=3)
     import re
