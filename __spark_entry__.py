@@ -41,8 +41,6 @@ _PRIORITY = [
     "cdc_lww_reduce_only",
     "graph_metadata_stats",
     "validation_report_counts",
-    "cdc_manifest_metrics",
-    "cdc_log_projection",
     "multi_source_merge_final_state",
     "normalize_ids_strict",
     "normalize_ids_lenient",
@@ -88,7 +86,14 @@ _PRIORITY = [
     "self_group_lookup",
     "asof_join_events_to_orders",
     "range_join_follow_events",
-    "approx_and_sample_stats",  # rows-only gate by design; cheapest to lose
+    "windowed_event_counts",
+    "session_windows_per_user",
+    # -- tail: entries a driver-side cap truncates first. The two rows-only
+    # gates lose nothing hash-verified; cdc_log_projection's projection/
+    # pruning behavior is separately plan-asserted in tests/test_plans.py.
+    "cdc_log_projection",
+    "cdc_manifest_metrics",
+    "approx_and_sample_stats",  # rows-only gate by design
 ]
 
 _DRIVER_EXCLUDED = {"distinct_dedup"}
@@ -110,6 +115,7 @@ def _registry(full: bool = False) -> dict[str, tuple[Callable[[SparkSession, str
             similarity,
             temporal,
             text,
+            window_queries,
         )
 
         for mod in (
@@ -121,6 +127,7 @@ def _registry(full: bool = False) -> dict[str, tuple[Callable[[SparkSession, str
             similarity,
             temporal,
             text,
+            window_queries,
         ):
             reg.update(mod.QUERIES)
     except ImportError:
