@@ -49,10 +49,10 @@ _PRIORITY = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    "dedup_simhash",
     "dedup_simhash_pairs",
     "ann_cosine_topk",
     "ann_lsh_bucketed",
+    "ann_ivf_flat",
     "embedding_cosine_neardup",
     "token_count",
     "text_quality_score",
@@ -90,7 +90,10 @@ _PRIORITY = [
     "session_windows_per_user",
     # -- tail: entries a driver-side cap truncates first. The two rows-only
     # gates lose nothing hash-verified; cdc_log_projection's projection/
-    # pruning behavior is separately plan-asserted in tests/test_plans.py.
+    # pruning behavior is separately plan-asserted in tests/test_plans.py;
+    # dedup_simhash (signatures) is transitively exercised by the
+    # dedup_simhash_pairs gate, which recomputes the signatures it emits.
+    "dedup_simhash",
     "cdc_log_projection",
     "cdc_manifest_metrics",
     "approx_and_sample_stats",  # rows-only gate by design

@@ -109,6 +109,10 @@ def test_no_collect_in_operator_sources():
     for path in glob.glob(f"{root}/operators/*.py"):
         src = open(path).read()
         for i, line in enumerate(src.splitlines(), 1):
-            if ".collect()" in line:
+            if ".collect()" in line and "# bounded-collect:" not in line:
+                # a collect may be explicitly justified with
+                # `# bounded-collect: <reason>` ONLY when its cardinality is
+                # a small constant independent of the data size (broadcast
+                # dimension pattern), never O(rows)
                 offenders.append(f"{os.path.basename(path)}:{i}")
     assert not offenders, offenders

@@ -316,8 +316,169 @@ ORDER BY vec_a, vec_b
 """
 
 
+# ---------------------------------------------------------------------------
+# IVF-flat ANN: deterministic sampled coarse quantizer (K evenly-spaced
+# corpus vectors), map-side cell assignment, nprobe-cell candidate search.
+
+_IVF_K = 16  # coarse-quantizer cells
+_IVF_NPROBE = 2  # cells probed per query
+
+
+def ann_ivf_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat approximate nearest neighbors, the scale path beyond LSH.
+
+    Index build: K centroids = evenly-spaced corpus vectors (a deterministic
+    sampled coarse quantizer — k-means would sharpen the cells but make the
+    result oracle-inexpressible); every corpus vector is assigned to its
+    max-cosine centroid ENTIRELY map-side — the centroid table (K rows, with
+    norms precomputed by the same engine expression the oracle uses) rides
+    along as a literal array and `F.aggregate` folds over it per row, so the
+    corpus is never shuffled or exploded K×.
+
+    Query: each query vector probes its ``_IVF_NPROBE`` best cells; exact
+    cosine within the probed cells; top-5 per query. At 100 TB the corpus
+    would be written partitioned by cell id (partition pruning turns a probe
+    into reading nprobe/K of the data); here the tiny (q_id, cell) pairs
+    broadcast onto the corpus scan, which is the same plan shape.
+    """
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    step = max(1, n // _IVF_K)
+    cent_ids = [i * step for i in range(_IVF_K)]
+    cent_rows = (
+        emb.filter(F.col("vec_id").isin(cent_ids))
+        .select("vec_id", "embedding", _norm(F.col("embedding")).alias("cnorm"))
+        .collect()  # bounded-collect: exactly _IVF_K=16 centroid rows
+    )
+    cent_rows.sort(key=lambda r: r["vec_id"])
+    # literal array of (cid, cnorm, vec) structs, ordered by cid — the fold
+    # below keeps the FIRST max on exact ties, matching the oracle's
+    # (score DESC, cid ASC) tie-break
+    cent_lit = F.array(
+        *[
+            F.struct(
+                F.lit(r["vec_id"]).alias("cid"),
+                F.lit(float(r["cnorm"])).alias("cnorm"),
+                F.array(*[F.lit(float(x)) for x in r["embedding"]]).alias("cvec"),
+            )
+            for r in cent_rows
+        ]
+    )
+
+    def _best_cell(vec):
+        # fold over the centroid literal: per row, argmax of dot/cnorm —
+        # norm(vec) is constant per row so it cannot change the argmax
+        return F.aggregate(
+            cent_lit,
+            F.struct(
+                F.lit(-1).alias("cid"), F.lit(float("-inf")).alias("score")
+            ),
+            lambda acc, c: F.when(
+                (_dot(vec, c["cvec"]) / c["cnorm"]) > acc["score"],
+                F.struct(
+                    c["cid"].alias("cid"),
+                    (_dot(vec, c["cvec"]) / c["cnorm"]).alias("score"),
+                ),
+            ).otherwise(acc),
+        )["cid"]
+
+    corpus = emb.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_emb"),
+        _best_cell(F.col("embedding")).alias("cell"),
+    )
+
+    # per-query probe list: rank ALL K cells (tiny: queries × K) and keep
+    # the best nprobe
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    qc = q.select(
+        "q_id",
+        "q_emb",
+        F.explode(cent_lit).alias("c"),
+    ).select(
+        "q_id",
+        "q_emb",
+        F.col("c.cid").alias("cell"),
+        (_dot(F.col("q_emb"), F.col("c.cvec")) / F.col("c.cnorm")).alias("score"),
+    )
+    from pyspark.sql import Window as W
+
+    wq = W.partitionBy("q_id").orderBy(F.desc("score"), F.asc("cell"))
+    probes = (
+        qc.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _IVF_NPROBE)
+        .select("q_id", "q_emb", "cell")
+    )
+
+    scored = (
+        corpus.join(F.broadcast(probes), on="cell")
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "c_id",
+            (
+                _dot(F.col("q_emb"), F.col("c_emb"))
+                / (_norm(F.col("q_emb")) * _norm(F.col("c_emb")))
+            ).alias("cos"),
+        )
+    )
+    wk = W.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("q_id", "rank", "c_id", F.round("cos", 6).alias("cosine"))
+        .orderBy("q_id", "rank")
+    )
+
+
+ANN_IVF_SQL = f"""
+WITH cent AS (
+  SELECT e.vec_id AS cid, e.embedding,
+         {_norm_sql('e')} AS cnorm
+  FROM embeddings e
+  WHERE e.vec_id IN (
+    SELECT i * greatest(1, (SELECT count(*) FROM embeddings) // {_IVF_K})
+    FROM range({_IVF_K}) t(i)
+  )
+), assign AS (
+  SELECT a.vec_id AS vid, b.cid,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY {_DOT_SQL.replace('b.embedding', 'b.embedding')} / b.cnorm DESC,
+                    b.cid ASC
+         ) AS rn
+  FROM embeddings a CROSS JOIN cent b
+), cells AS (
+  SELECT vid, cid AS cell FROM assign WHERE rn = 1
+), probes AS (
+  SELECT vid AS q_id, cid AS cell FROM assign
+  WHERE vid < {_N_QUERIES} AND rn <= {_IVF_NPROBE}
+), cand AS (
+  SELECT p.q_id, ce.vid AS c_id
+  FROM probes p JOIN cells ce ON ce.cell = p.cell
+  WHERE ce.vid <> p.q_id
+), scored AS (
+  SELECT c.q_id, c.c_id,
+         {_DOT_SQL} / ({_norm_sql('a')} * {_norm_sql('b')}) AS cos
+  FROM cand c
+  JOIN embeddings a ON a.vec_id = c.q_id
+  JOIN embeddings b ON b.vec_id = c.c_id
+), ranked AS (
+  SELECT q_id, c_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, rank, c_id, round(cos, 6) AS cosine
+FROM ranked WHERE rank <= {_TOP_K}
+ORDER BY q_id, rank
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": (ann_cosine_topk, ANN_COSINE_TOPK_SQL),
     "ann_lsh_bucketed": (ann_lsh_bucketed, ANN_LSH_SQL),
+    "ann_ivf_flat": (ann_ivf_flat, ANN_IVF_SQL),
     "embedding_cosine_neardup": (embedding_cosine_neardup, EMBEDDING_NEARDUP_SQL),
 }
