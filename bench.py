@@ -35,6 +35,9 @@ HEADLINE = [
     "groupby_multi_agg",
     "distinct_dedup",
     "cdc_lww_reduce_only",
+    "windowed_event_counts",
+    "session_windows_per_user",
+    "ann_ivf_flat",
 ]
 
 N_ITERS = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
