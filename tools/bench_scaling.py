@@ -142,7 +142,14 @@ n = log.count()
 # warm-up (JVM/codegen) on a small slice into a throwaway table
 root_w = tempfile.mkdtemp(prefix="warm_")
 eng_w = CdcEngine(spark, root_w, num_buckets=32, use_arrow_normalize=False)
-eng_w.apply_log(log.limit(2000), n_batches=1, total_events=2000, cache_log=False)
+# warm ALL executors: limit(2000) is 1-2 tasks and leaves most executor
+# JVMs JIT-cold in multi-JVM mode (their first measured tasks then run
+# interpreted); spread enough warm-up tasks that every executor compiles
+# the hot codegen loops (a per-node constant on a real cluster)
+eng_w.apply_log(
+    log.limit(60000).repartition(max(cores * 4, 16)),
+    n_batches=1, total_events=60000, cache_log=False,
+)
 shutil.rmtree(root_w, ignore_errors=True)
 
 root = tempfile.mkdtemp(prefix="scale_")
