@@ -42,8 +42,8 @@ _PRIORITY = [
     "graph_metadata_stats",
     "validation_report_counts",
     "multi_source_merge_final_state",
+    "cdc_changes_feed",
     "normalize_ids_strict",
-    "normalize_ids_lenient",
     "normalize_failures",
     # -- tier 2: LLM-pipeline operators (dedup / similarity / text) --
     "dedup_exact",
@@ -92,7 +92,11 @@ _PRIORITY = [
     # gates lose nothing hash-verified; cdc_log_projection's projection/
     # pruning behavior is separately plan-asserted in tests/test_plans.py;
     # dedup_simhash (signatures) is transitively exercised by the
-    # dedup_simhash_pairs gate, which recomputes the signatures it emits.
+    # dedup_simhash_pairs gate, which recomputes the signatures it emits;
+    # normalize_ids_lenient is the mode-flag twin of the gated strict
+    # variant (same operator, same map join — only the failure disposition
+    # differs, and normalize_failures gates that side-output directly).
+    "normalize_ids_lenient",
     "dedup_simhash",
     "cdc_log_projection",
     "cdc_manifest_metrics",

@@ -1,0 +1,96 @@
+"""Change data feed (table.changes): net row-level diffs between committed
+snapshots, bucket-pruned, with COW carry-over rows cancelled and compaction
+noise excluded."""
+
+from translator_ingests_spark.lake import LakeSchema, LakeTable
+from translator_ingests_spark.lake.maintenance import compact
+
+SCHEMA = LakeSchema.from_names(
+    [("repo", "string"), ("path", "string"), ("content", "string"), ("last_lsn", "long")]
+)
+
+
+def make_table(spark, root, num_buckets=4):
+    return LakeTable.create(spark, root, SCHEMA, key_cols=["repo", "path"],
+                            lsn_col="last_lsn", num_buckets=num_buckets)
+
+
+def src_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "repo string, path string, content string, op string, lsn long"
+    )
+
+
+def feed(table, v_from, v_to=None):
+    return {
+        (r["repo"], r["path"]): (r["content"], r["last_lsn"], r["_change_type"])
+        for r in table.changes(v_from, v_to).collect()
+    }
+
+
+def test_upserts_deletes_and_carryover_cancellation(spark, tmp_path):
+    t = make_table(spark, str(tmp_path / "lake"))
+    t.merge(src_df(spark, [
+        ("r1", "a", "v1", "insert", 1),
+        ("r1", "b", "v1", "insert", 2),
+        ("r2", "c", "v1", "insert", 3),
+    ]), 0)
+    v1 = t.current().version
+
+    # batch 1 touches only SOME keys; untouched keys in rewritten buckets
+    # are COW carry-over and must NOT appear in the feed
+    t.merge(src_df(spark, [
+        ("r1", "a", "v2", "update", 10),
+        ("r1", "b", None, "delete", 11),
+    ]), 1)
+
+    ch = feed(t, v1)
+    assert ch == {
+        ("r1", "a"): ("v2", 10, "upsert"),
+        ("r1", "b"): (None, 11, "delete"),
+    }
+
+
+def test_stale_events_produce_empty_feed(spark, tmp_path):
+    """A batch of only-stale events rewrites buckets with identical rows —
+    the feed between the surrounding snapshots must be EMPTY."""
+    t = make_table(spark, str(tmp_path / "lake"))
+    t.merge(src_df(spark, [("r1", "a", "new", "update", 10)]), 0)
+    v1 = t.current().version
+    t.merge(src_df(spark, [("r1", "a", "old", "update", 5)]), 1)
+    assert feed(t, v1) == {}
+
+
+def test_compaction_is_not_a_change(spark, tmp_path):
+    """Folding a tombstone out (retention) between the two versions must not
+    emit anything — it is not a data change."""
+    t = make_table(spark, str(tmp_path / "lake"))
+    t.merge(src_df(spark, [("r1", "a", "v1", "insert", 1)]), 0)
+    t.merge(src_df(spark, [("r1", "a", None, "delete", 5)]), 1,
+            advance_watermark_to=5)
+    v2 = t.current().version
+    compact(t, drop_tombstones=True)
+    assert t.current().version > v2  # compaction committed a snapshot
+    assert feed(t, v2) == {}
+
+
+def test_multi_version_feed_is_net_change(spark, tmp_path):
+    """v1 → v3 reports the NET change: an insert+update collapses to one
+    upsert at the final LSN; insert-then-delete collapses to one delete."""
+    t = make_table(spark, str(tmp_path / "lake"))
+    t.merge(src_df(spark, [("r1", "keep", "k1", "insert", 1)]), 0)
+    v1 = t.current().version
+    t.merge(src_df(spark, [
+        ("r1", "x", "x1", "insert", 10),
+        ("r1", "y", "y1", "insert", 11),
+    ]), 1)
+    t.merge(src_df(spark, [
+        ("r1", "x", "x2", "update", 20),
+        ("r1", "y", None, "delete", 21),
+    ]), 2)
+
+    ch = feed(t, v1)
+    assert ch == {
+        ("r1", "x"): ("x2", 20, "upsert"),
+        ("r1", "y"): (None, 21, "delete"),
+    }

@@ -280,6 +280,41 @@ def _atomic_write_json(path: str, payload: dict) -> None:
     os.replace(tmp, path)
 
 
+class CommitConflictError(RuntimeError):
+    """Another writer committed the same snapshot version first.
+
+    The losing writer's work is NOT on the table; the caller must re-read
+    the current snapshot, recompute against it and commit again (the
+    standard optimistic-concurrency retry — Iceberg/Delta commit semantics).
+    """
+
+
+def _atomic_create_json(path: str, payload: dict) -> None:
+    """Like ``_atomic_write_json`` but FAILS if ``path`` already exists.
+
+    ``os.link(tmp, path)`` is the POSIX create-if-absent primitive: exactly
+    one of two racing writers can link the name. This is the lake's
+    single-commit fence — without it, two engines committing version V+1
+    concurrently would silently overwrite each other's snapshot manifest
+    and the pointer swap would publish a table whose data files and
+    manifest disagree (a lost update).
+    """
+    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump(payload, fh, indent=None, separators=(",", ":"))
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        os.link(tmp, path)
+    except FileExistsError:
+        raise CommitConflictError(
+            f"snapshot {path!r} was committed by a concurrent writer; "
+            "re-read the table and retry the commit"
+        ) from None
+    finally:
+        os.unlink(tmp)
+
+
 # ---------------------------------------------------------------------------
 # LakeTable
 # ---------------------------------------------------------------------------
@@ -339,8 +374,17 @@ class LakeTable:
         return os.path.exists(self._pointer_path)
 
     def current(self) -> Snapshot:
+        """The committed snapshot. The exclusive CREATE of the snapshot
+        manifest is the commit point (see ``_commit_snapshot``); the pointer
+        is a convenience cache of max(version). A crash between the create
+        and the pointer swap leaves the pointer stale — heal it here by
+        taking the manifest directly above it when one exists (there can be
+        at most one: the fence admits a single writer per version)."""
         with open(self._pointer_path) as fh:
             version = json.load(fh)["version"]
+        if os.path.exists(self._snapshot_path(version + 1)):
+            version += 1
+            _atomic_write_json(self._pointer_path, {"version": version})
         with open(self._snapshot_path(version)) as fh:
             return Snapshot.from_json(json.load(fh))
 
@@ -353,7 +397,11 @@ class LakeTable:
         return sorted(int(s[1:-5]) for s in snaps if s.endswith(".json"))
 
     def _commit_snapshot(self, snap: Snapshot) -> None:
-        _atomic_write_json(self._snapshot_path(snap.version), snap.to_json())
+        # exclusive create = the commit fence (see _atomic_create_json): the
+        # loser of a version race gets CommitConflictError before the
+        # pointer moves. The pointer swap itself is a plain atomic replace —
+        # it only ever advances to a snapshot whose manifest won its create.
+        _atomic_create_json(self._snapshot_path(snap.version), snap.to_json())
         _atomic_write_json(self._pointer_path, {"version": snap.version})
 
     # -- read ---------------------------------------------------------------
@@ -444,6 +492,50 @@ class LakeTable:
         out-rank an older update for the same key in another source."""
         snap = self.current()
         return self._read_files(snap, snap.files, raw=True)
+
+    def changes(self, v_from: int, v_to: int | None = None) -> DataFrame:
+        """Change data feed: the NET row-level changes between two committed
+        snapshots, emitted as full rows plus a ``_change_type`` column
+        (``upsert`` | ``delete``).
+
+        Plan shape (scale path): only files NEW in ``v_to`` are read from the
+        target side — COW rewrites whole bucket files, so every change lives
+        in a new file — and the ``v_from`` side reads only files whose bucket
+        range overlaps those rewritten files (manifest pruning, no full-table
+        scan of either version). ``exceptAll`` then cancels the carried-over
+        unchanged rows: cost ∝ rewritten buckets, not table size. Deletes
+        surface as their tombstone rows (key columns + delete LSN, values
+        null); tombstones folded out by compaction between the two versions
+        are retention bookkeeping, not data changes, and are not emitted.
+
+        Caveat: the implicit ``__extras`` map is excluded from the diff (set
+        operations don't support map columns), so a rewrite that changed
+        ONLY a row's extras payload does not emit.
+        """
+        s_to = self.snapshot_at(v_to) if v_to is not None else self.current()
+        s_from = self.snapshot_at(v_from)
+        old_paths = {f["path"] for f in s_from.files}
+        new_files = [f for f in s_to.files if f["path"] not in old_paths]
+        ranges = [(f["bucket_min"], f["bucket_max"]) for f in new_files]
+        prev_files = [
+            f
+            for f in s_from.files
+            if any(
+                f["bucket_min"] <= hi and f["bucket_max"] >= lo
+                for lo, hi in ranges
+            )
+        ]
+        # align BOTH sides to s_to's schema (field-id mapping handles files
+        # written under older schema versions)
+        after = self._read_files(s_to, new_files, raw=True).drop(EXTRAS_COL)
+        before = self._read_files(s_to, prev_files, raw=True).drop(EXTRAS_COL)
+        delta = after.exceptAll(before)
+        return delta.withColumn(
+            "_change_type",
+            F.when(F.col(TOMBSTONE_COL), F.lit("delete")).otherwise(
+                F.lit("upsert")
+            ),
+        ).drop(TOMBSTONE_COL)
 
     @staticmethod
     def _files_overlapping(snap: Snapshot, buckets: list[int]) -> list[dict]:

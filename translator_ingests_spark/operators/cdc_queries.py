@@ -299,7 +299,47 @@ VALIDATION_REPORT_SQL = (
 )
 
 
+def cdc_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed between two committed snapshots of the replayed
+    lake (``LakeTable.changes``): the NET upserts/deletes from the
+    mid-replay snapshot (batches 0..3 of 8 applied) to the final state,
+    read bucket-pruned from only the files rewritten in between. The oracle
+    reproduces the feed relationally: a key changed iff its final LWW
+    winner's LSN falls in the second half of the log."""
+    eng = _replayed_engine(spark, sf_dir)
+    # the snapshot that applied batch id 3 (in-order replay: batches 0..3)
+    target = None
+    for v in eng.table.history():
+        s = eng.table.snapshot_at(v)
+        if s.operation == "merge" and s.batch_id is not None and s.batch_id <= 3:
+            target = v
+    ch = eng.table.changes(target)
+    return ch.select(
+        "repo",
+        "path",
+        "content",
+        "last_lsn",
+        F.col("_change_type").alias("change_type"),
+    ).orderBy("repo", "path")
+
+
+CDC_CHANGES_SQL = _CDC_LOG_CTE + """
+, par AS (
+  SELECT 4 * CAST(ceil(count(*) / 8.0) AS BIGINT) AS t FROM cdc
+), win AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+  FROM cdc
+)
+SELECT w.repo, w.path, w.content, w.lsn AS last_lsn,
+       CASE WHEN w.op = 'delete' THEN 'delete' ELSE 'upsert' END AS change_type
+FROM win w, par
+WHERE w.rn = 1 AND w.lsn >= par.t
+ORDER BY w.repo, w.path
+"""
+
+
 QUERIES = {
+    "cdc_changes_feed": (cdc_changes_feed, CDC_CHANGES_SQL),
     "cdc_log_projection": (cdc_log_projection, CDC_LOG_PROJECTION_SQL),
     "cdc_lww_reduce_only": (cdc_lww_reduce_only, CDC_LWW_REDUCE_SQL),
     "cdc_replay_final_state": (cdc_replay_final_state, CDC_REPLAY_SQL),
