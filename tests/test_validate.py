@@ -63,7 +63,11 @@ def test_validation_catches_duplicate_keys_by_construction(spark, tmp_path):
     eng = _build(spark, tmp_path, n=200)
     snap = eng.table.current()
     # duplicate an existing manifest file entry → same rows read twice
+    # (committed as a NEW version: the commit fence forbids rewriting an
+    # already-published snapshot in place)
     snap.files.append(dict(snap.files[0]))
+    snap.parent = snap.version
+    snap.version += 1
     eng.table._commit_snapshot(snap)
     report = validate_engine_state(eng)
     assert report["duplicate_keys"] > 0 and not report["passed"]
