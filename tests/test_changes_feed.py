@@ -94,3 +94,38 @@ def test_multi_version_feed_is_net_change(spark, tmp_path):
         ("r1", "x"): ("x2", 20, "upsert"),
         ("r1", "y"): (None, 21, "delete"),
     }
+
+
+def test_point_lookup_prunes_to_key_buckets(spark, tmp_path):
+    """table.lookup reads only the files of the looked-up keys' buckets and
+    returns exactly the visible rows for those keys."""
+    t = make_table(spark, str(tmp_path / "lake"), num_buckets=8)
+    rows = [("r1", f"f{i}.py", f"c{i}", "insert", i) for i in range(40)]
+    t.merge(src_df(spark, rows), 0)
+    t.merge(src_df(spark, [("r1", "f3.py", None, "delete", 100)]), 1)
+
+    got = {
+        (r["repo"], r["path"]): (r["content"], r["last_lsn"])
+        for r in t.lookup([("r1", "f7.py"), ("r1", "f3.py"), ("rX", "nope")]).collect()
+    }
+    # f7 present, f3 deleted (tombstone invisible), unknown key absent
+    assert got == {("r1", "f7.py"): ("c7", 7)}
+
+    # pruning: the scan must read fewer files than the table holds (the
+    # three keys cover at most 3 of 8 buckets)
+    snap = t.current()
+    pruned = t._files_overlapping(
+        snap,
+        sorted(
+            {
+                r["__b"]
+                for r in t.spark.createDataFrame(
+                    [("r1", "f7.py"), ("r1", "f3.py"), ("rX", "nope")],
+                    schema=["repo", "path"],
+                )
+                .select(t._bucket_expr(snap.num_buckets, snap.key_cols).alias("__b"))
+                .collect()
+            }
+        ),
+    )
+    assert len(pruned) < len(snap.files)

@@ -552,6 +552,34 @@ class LakeTable:
         snap = self.current()
         return self._read_files(snap, self._files_overlapping(snap, buckets), raw=raw)
 
+    def lookup(self, keys: list[tuple]) -> DataFrame:
+        """Point lookup: the visible rows for an explicit list of key tuples.
+
+        The bucket of each key is computed DRIVER-side with the same
+        xxhash64 rule the writer uses, so only the files whose bucket range
+        covers a requested key are read (manifest pruning: cost ∝ looked-up
+        buckets, not table size) and the key equality predicate is pushed
+        into the pruned parquet scan. O(|keys|) driver work — intended for
+        the interactive / serving path, not for joins (broadcast the keys
+        into a join against ``read()`` for those).
+        """
+        snap = self.current()
+        key_df = self.spark.createDataFrame(keys, schema=list(snap.key_cols))
+        # driver-side bucket computation must be the JVM expression itself
+        # (xxhash64 has no cheap python twin): one tiny job over |keys| rows
+        kb = key_df.select(
+            self._bucket_expr(snap.num_buckets, snap.key_cols).alias("__b")
+        ).collect()  # bounded: one row per looked-up key
+        buckets = sorted({r["__b"] for r in kb})
+        df = self.read_buckets(buckets)
+        cond = F.lit(False)
+        for kt in keys:
+            eq = F.lit(True)
+            for col, val in zip(snap.key_cols, kt):
+                eq = eq & (F.col(col) == F.lit(val))
+            cond = cond | eq
+        return df.filter(cond)
+
     # -- schema evolution ----------------------------------------------------
     def update_schema(self, kind: str, column: str, new_name: str | None = None,
                       new_type: str | None = None, at_lsn: int | None = None) -> Snapshot:
