@@ -841,7 +841,10 @@ class LakeTable:
             result.withColumn("__grp", group.cast("int"))
             .repartition(n_parts, "__grp")
             .drop("__grp")
-            .sortWithinPartitions("__bucket")
+            # secondary sort by key: parquet row-group min/max stats on the
+            # key columns become tight, so pushed key-equality predicates
+            # (point lookups) skip row groups inside each bucket file
+            .sortWithinPartitions("__bucket", *keys)
             .write.mode("overwrite")
             .parquet(out_dir)
         )
