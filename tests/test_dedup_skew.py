@@ -170,3 +170,25 @@ def test_simhash_pairs_find_planted_neardups(spark, sim_dir):
         key = (j * 100, N_SIM_DOCS + j)
         assert key in pairs, f"planted dup {key} missed"
         assert pairs[key] == 0
+
+
+def test_embedding_band_geometry_stays_inside_signature():
+    """Round-3 ADVICE: corpus-scaled band width must never push a band's
+    substring window past the 64-bit signature (an out-of-range band
+    matches '' for every row → quadratic all-pairs candidates). Bands are
+    now derived FROM the width; the product stays within the signature at
+    every corpus size, and the small-n geometry the DuckDB oracle encodes
+    (8 bands × 8 bits) is unchanged through n = 16,384."""
+    from translator_ingests_spark.operators.similarity import (
+        _EMB_DIMS,
+        _emb_band_count,
+        _emb_band_width,
+    )
+
+    for n in [10, 1_000, 16_384, 10**6, 10**9, 10**12]:
+        w = _emb_band_width(n)
+        b = _emb_band_count(w)
+        assert w * b <= _EMB_DIMS
+        assert b >= 2  # at least two bands: banding stays a recall knob
+        if n <= 16_384:
+            assert (w, b) == (8, 8)

@@ -280,13 +280,54 @@ class CdcEngine:
             ),
             default=None,
         )
+        max_lsn = max(
+            (
+                x
+                for x in (
+                    [r["lsn_max"] for r in meta_rows]
+                    + [s["lsn"] for s in schema_rows_all]
+                )
+                if x is not None
+            ),
+            default=None,
+        )
         base_unit = 0
-        if (
+        if min_lsn is not None and prev_max is not None:
+            if min_lsn > prev_max:
+                base_unit = self.table.current().last_batch_id + 1
+            elif max_lsn is not None and max_lsn > prev_max:
+                # Mixed old/new log: LSNs at or below prev_max alongside new
+                # ones (e.g. boundary redelivery of the last acked event plus
+                # fresh events). Classifying this as a replay would let the
+                # exactly-once guard silently swallow the NEW events, so
+                # treat it as a tail — redelivered old events are harmless
+                # because the LWW merge is idempotent on lsn <= applied —
+                # and warn that the call sits outside the strict contract.
+                import warnings
+
+                warnings.warn(
+                    "apply(): log mixes already-applied LSNs (min "
+                    f"{min_lsn} <= applied max {prev_max}) with new ones "
+                    f"(max {max_lsn}); treating as a tail with redelivered "
+                    "boundary events. Strict replays must re-derive the "
+                    "original batching from the full log.",
+                    stacklevel=2,
+                )
+                base_unit = self.table.current().last_batch_id + 1
+        elif (
             min_lsn is not None
-            and prev_max is not None
-            and min_lsn > prev_max
+            and prev_max is None
+            and self.table.current().last_batch_id >= 0
         ):
-            base_unit = self.table.current().last_batch_id + 1
+            # A non-empty table with no checkpoint manifests cannot tell a
+            # replay from a tail — silently choosing replay (base_unit 0)
+            # would make the exactly-once guard swallow everything.
+            raise ValueError(
+                "apply(): table has committed batches but no checkpoint "
+                "manifests record an applied LSN range; cannot distinguish "
+                "replay from tail. Restore the checkpoint manifests or "
+                "recreate the table before applying this log."
+            )
 
         manifests: list[dict] = []
         unit_id = base_unit
@@ -331,9 +372,14 @@ class CdcEngine:
                             self.auto_compact_every
                             and len(manifests) % self.auto_compact_every == 0
                         ):
-                            from translator_ingests_spark.lake.maintenance import compact
+                            from translator_ingests_spark.lake.maintenance import (
+                                compact_incremental,
+                            )
 
-                            compact(self.table, drop_tombstones=True)
+                            # incremental: rewrites only fragmented buckets
+                            # (manifest-metadata selection) — the default
+                            # cadence must never be an O(table) job
+                            compact_incremental(self.table, drop_tombstones=True)
                     unit_id += 1
                     if max_units is not None and unit_id - base_unit >= max_units:
                         if not already_cached:

