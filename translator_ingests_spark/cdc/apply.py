@@ -99,6 +99,7 @@ class CdcEngine:
         hot_sample_fraction: float = 0.05,
         salt_buckets: int = 32,
         auto_compact_every: int | None = 16,
+        small_batch_events: int = 1_000_000,
     ):
         self.spark = spark
         self.root = root
@@ -115,6 +116,11 @@ class CdcEngine:
         # downstream merged table still needs the tombstones — see
         # lake/merge_sources.py's rebuild guard).
         self.auto_compact_every = auto_compact_every
+        # batches at or below this many valid events reduce via one max_by
+        # job (the decomposed winners plan's fixed cost never amortizes
+        # there — see lww_reduce's `simple` path); larger batches take the
+        # decomposed primitive-buffer plan that holds 0.8+ scaling at 96M
+        self.small_batch_events = small_batch_events
         self.code_hash = compute_code_hash()
         self.table = LakeTable(spark, os.path.join(root, "lake"))
         self._ckpt_dir = os.path.join(root, "ckpt")
@@ -484,22 +490,38 @@ class CdcEngine:
             # from |keys| rows instead of a full-scan collect_set; and the
             # merge job reuses the cached winners instead of re-aggregating
             # the events.
-            winners = valid.groupBy(*snap.key_cols).agg(
-                F.max(F.col("lsn")).alias("__wl")
-            ).persist()
-            bucket = self.table._bucket_expr(snap.num_buckets, snap.key_cols)
-            wstats = winners.agg(
-                F.count(F.lit(1)).alias("n_keys"),
-                F.collect_set(bucket).alias("buckets"),
-            ).collect()[0]
-            n_keys = wstats["n_keys"]
-            affected_buckets = sorted(wstats["buckets"] or [])
-            reduced = lww_reduce(
-                valid,
-                keys=list(snap.key_cols),
-                broadcast_winners=n_keys <= 1_000_000,
-                winners=winners,
-            )
+            winners = None
+            small_batch = n_valid <= self.small_batch_events
+            if small_batch:
+                # SMALL-BATCH fast path (round-3 VERDICT #3): below the
+                # threshold the winners persist + exact-count gate are pure
+                # fixed cost. The affected-bucket probe runs over the
+                # (already-cached) events — a primitive HashAggregate, no
+                # materialization of the reduce — and the one-job max_by
+                # reduce executes INSIDE the merge's write pass.
+                bucket = self.table._bucket_expr(snap.num_buckets, snap.key_cols)
+                affected_buckets = sorted(
+                    r["__b"]
+                    for r in valid.select(bucket.alias("__b")).distinct().collect()
+                )
+                reduced = lww_reduce(valid, keys=list(snap.key_cols), simple=True)
+            else:
+                winners = valid.groupBy(*snap.key_cols).agg(
+                    F.max(F.col("lsn")).alias("__wl")
+                ).persist()
+                bucket = self.table._bucket_expr(snap.num_buckets, snap.key_cols)
+                wstats = winners.agg(
+                    F.count(F.lit(1)).alias("n_keys"),
+                    F.collect_set(bucket).alias("buckets"),
+                ).collect()[0]
+                n_keys = wstats["n_keys"]
+                affected_buckets = sorted(wstats["buckets"] or [])
+                reduced = lww_reduce(
+                    valid,
+                    keys=list(snap.key_cols),
+                    broadcast_winners=n_keys <= 1_000_000,
+                    winners=winners,
+                )
 
             source = self._derive_columns(reduced, snap)
             metrics = {
@@ -531,7 +553,8 @@ class CdcEngine:
                 use_observation=self._delivery != "stream",
                 delivery=self._delivery,
             )
-            winners.unpersist()
+            if winners is not None:
+                winners.unpersist()
             elapsed = max(time.monotonic() - t0, 1e-9)
             n_red = merge_stats.get("rows", 0)
             n_del = merge_stats.get("deletes", 0)

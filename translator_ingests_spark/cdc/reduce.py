@@ -69,6 +69,7 @@ def lww_reduce(
     salt_buckets: int = 32,
     broadcast_winners: bool | None = None,
     winners: DataFrame | None = None,
+    simple: bool = False,
 ) -> DataFrame:
     """Reduce to one row per key: the max-(lsn, op_rank, hash) survivor.
 
@@ -119,6 +120,23 @@ def lww_reduce(
         f.name for f in df.schema.fields
         if f.name != lsn_col and not isinstance(f.dataType, MapType)
     ]
+    if simple:
+        # SMALL-BATCH fast path: one max_by over the SAME total order
+        # (lsn, op_rank, tie hash) — a single SortAggregate job. The
+        # decomposed plan's winners materialization + exact-count broadcast
+        # gate cost a fixed ~0.2s/batch that never amortizes below ~1M
+        # events (round-3 VERDICT #3); below that a full-batch sort is
+        # cheaper than three jobs. Caller contract: ``lsn_col`` non-null
+        # (the engine's validity filter guarantees it) — all-null-LSN keys
+        # need the decomposed path's null-safe join.
+        payload = F.struct(*[F.col(c) for c in cols]).alias("__row")
+        order = F.struct(
+            F.col(lsn_col).alias("o0"),
+            _op_rank(op_col).alias("o1"),
+            F.xxhash64(*[F.col(c) for c in hashable]).alias("o2"),
+        )
+        reduced = df.groupBy(*keys).agg(F.max_by(payload, order).alias("__row"))
+        return reduced.select(*[F.col(f"__row.{c}").alias(c) for c in cols])
     if winners is None:
         winners = df.groupBy(*keys).agg(F.max(F.col(lsn_col)).alias("__wl"))
     if broadcast_winners:

@@ -103,7 +103,11 @@ def cdc_lww_reduce_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     from translator_ingests_spark.cdc.reduce import lww_reduce
 
     log = events_as_cdc_log(spark, sf_dir)
-    red = lww_reduce(log, keys=["repo", "path"])
+    # mirror the engine's small-batch gate (CdcEngine.small_batch_events):
+    # below ~1M events one max_by job beats the decomposed winners plan;
+    # the footer-only count of the source table is free
+    n = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    red = lww_reduce(log, keys=["repo", "path"], simple=n <= 1_000_000)
     return (
         red.select("repo", "path", "op", "lsn", "commit", "lang", "content")
         .orderBy("repo", "path")
