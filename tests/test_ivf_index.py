@@ -1,0 +1,74 @@
+"""IVF-flat hardening (round-3 VERDICT #2): corpus-scaled K, measured
+recall vs the brute-force oracle, the Arrow large-K assignment path, and
+the physical cell-partitioned index layout with partition-pruned probes."""
+
+from pyspark.sql import functions as F
+
+from translator_ingests_spark.operators import similarity as sim
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return [(r["q_id"], r["rank"], r["c_id"], r["cosine"]) for r in df.collect()]
+
+
+def test_ivf_k_scales_with_corpus():
+    # static at every test scale (the DuckDB oracle encodes K=16)...
+    for n in (100, 500, 2_000, 16_384):
+        assert sim._ivf_k(n) == 16
+    # ...and grows ~√n beyond, so per-cell candidate cost stays bounded
+    assert sim._ivf_k(10**6) == 128
+    assert sim._ivf_k(10**9) == 4096
+    assert sim._ivf_k(10**9) > sim._ivf_k(10**6) > 16
+
+
+def test_ivf_recall_at_5_meets_gate(spark):
+    """The fixture is near-uniform on the sphere, so recall tracks coverage
+    (nprobe/K) — the 0.7 gate holds at nprobe=6, and the knob must be
+    monotone (more probes, more recall). See ivf_recall_at_k's docstring
+    for the measured curve."""
+    r2 = sim.ivf_recall_at_k(spark, SF, nprobe=2)
+    r6 = sim.ivf_recall_at_k(spark, SF, nprobe=6)
+    assert r6 >= 0.7, f"recall@5 {r6:.2f} at nprobe=6 below the 0.7 gate"
+    assert r6 > r2 >= 0.2, (r2, r6)
+
+
+def test_large_k_arrow_path_matches_literal_fold(spark):
+    """The Arrow assignment/probe path (taken when K > _IVF_FOLD_MAX) must
+    reduce to the same result as the codegen literal fold on identical
+    centroids — same argmax tie-break, same candidate set."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    n = emb.count()
+    k = sim._ivf_k(n)
+    step = max(1, n // k)
+    cent_ids = [i * step for i in range(k)]
+    cent_rows = sorted(
+        emb.filter(F.col("vec_id").isin(cent_ids))
+        .select("vec_id", "embedding", sim._norm(F.col("embedding")).alias("cnorm"))
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    assert _rows(sim._ann_ivf_large_k(emb, cent_rows)) == _rows(
+        sim.ann_ivf_flat(spark, SF)
+    )
+
+
+def test_indexed_layout_matches_and_prunes(spark, tmp_path):
+    info = sim.build_ivf_index(spark, SF, str(tmp_path / "ivf"))
+    assert info["k"] == 16
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < sim._N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    res = sim.ann_ivf_flat_indexed(spark, str(tmp_path / "ivf"), queries)
+    # identical centroids + identical probe rule ⇒ identical results
+    assert _rows(res) == _rows(sim.ann_ivf_flat(spark, SF))
+
+    # the probe scan must carry a cell partition filter: parquet prunes to
+    # the probed directories, reading ~nprobe·queries/K of the index
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any("cell" in l and "IN" in l for l in pf_lines), pf_lines
