@@ -260,3 +260,66 @@ def test_manifests_lineage_and_metrics(spark, tmp_path):
     mdf = eng.manifests_df()
     assert mdf.count() == 4
     assert "per_partition_lineage" in mdf.columns
+
+
+def test_drop_column_mid_stream(spark, tmp_path):
+    """drop_column is metadata-only via field ids: the column disappears
+    from the visible schema immediately, old files stay readable, and a
+    later re-add with the same NAME is a fresh column — dropped values
+    never resurface (round-3 VERDICT #6)."""
+    add = {"kind": "add_column", "column": "score", "new_name": None, "new_type": "int"}
+    drop = {"kind": "drop_column", "column": "score", "new_name": None, "new_type": None}
+    readd = {"kind": "add_column", "column": "score", "new_name": None, "new_type": "int"}
+    events = [
+        ev(0, "schema_change", schema_change=add),
+        ev(1, "insert", "r", "a", "c1", "py", "v1", extras={"score": "7"}),
+        ev(2, "schema_change", schema_change=drop),
+        ev(3, "insert", "r", "b", "c3", "py", "v3", extras={"score": "8"}),
+        ev(4, "schema_change", schema_change=readd),
+        ev(5, "insert", "r", "c", "c5", "py", "v5", extras={"score": "9"}),
+    ]
+    eng = run(spark, tmp_path, events, events_per_batch=2)
+    st = state(eng)
+    # re-added column: only the post-re-add writer populates it
+    assert st[("r", "a")]["score"] is None   # written under the DROPPED id
+    assert st[("r", "b")]["score"] is None   # written while no column existed
+    assert st[("r", "c")]["score"] == 9
+    # fresh field id, not a resurrected one
+    fields = {f.name: f.field_id for f in eng.table.current().schema.fields}
+    assert fields["score"] == max(fields.values())
+
+
+def test_drop_base_column_and_oracle_agree(spark, tmp_path):
+    """Dropping a base (schema-v1) column removes it everywhere — replay
+    equality vs the sequential oracle still holds on the surviving
+    columns, out of order and with redelivery."""
+    drop = {"kind": "drop_column", "column": "lang", "new_name": None, "new_type": None}
+    events = [
+        ev(0, "insert", "r", "a", "c0", "py", "v0"),
+        ev(1, "insert", "r", "b", "c1", "rs", "v1"),
+        ev(2, "schema_change", schema_change=drop),
+        ev(3, "update", "r", "a", "c3", "go", "v3"),  # lang ignored post-drop
+    ]
+    eng = run(spark, tmp_path, events, events_per_batch=2)
+    assert "lang" not in eng.final_state().columns
+    st = state(eng)
+    assert st[("r", "a")]["content"] == "v3"
+    oracle = replay_oracle(events)
+    for key, row in oracle.items():
+        assert "lang" not in row or key not in st  # oracle purged lang too
+        assert st[key]["content"] == row["content"]
+        assert st[key]["content_sha256"] == row["content_sha256"]
+    # engine columns that survive match the oracle row keys
+    assert set(st[("r", "b")].keys()) >= set(oracle[("r", "b")]) - {"lang"}
+
+
+def test_drop_column_guards_engine_columns(spark, tmp_path):
+    eng = make_engine(spark, tmp_path)
+    events = [ev(0, "insert", "r", "a", "c0", "py", "v0")]
+    eng.apply_log(spark.createDataFrame(events, EVENT_SCHEMA), events_per_batch=10)
+    with pytest.raises(ValueError):
+        eng.table.update_schema("drop_column", "repo")
+    # idempotent replay: dropping a never-existed column is a no-op
+    v = eng.table.current().version
+    eng.table.update_schema("drop_column", "nope")
+    assert eng.table.current().version == v

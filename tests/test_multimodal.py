@@ -54,3 +54,53 @@ def test_frame_sample_plumbing(spark):
 def test_real_decode_path_is_gated():
     with pytest.raises(NotImplementedError):
         decode_image(b"x", fake=False)
+
+
+def _make_ppm(w, h, maxval=255):
+    """Deterministic P6 image: pixel (x, y) channel c = (x*7 + y*13 + c*31) % (maxval+1)."""
+    raster = bytes(
+        (x * 7 + y * 13 + c * 31) % (maxval + 1)
+        for y in range(h) for x in range(w) for c in range(3)
+    )
+    header = f"P6\n# generated fixture\n{w} {h}\n{maxval}\n".encode()
+    return header + raster
+
+
+def test_real_ppm_decode_end_to_end(spark):
+    """VERDICT r3 #5: one REAL decode branch — a binary PPM parses through
+    the same Arrow mapInPandas path as the fake, with byte-stable features."""
+    import numpy as np
+
+    from translator_ingests_spark.functions.multimodal import _decode_ppm
+
+    payload = _make_ppm(6, 4)
+    # reference features computed independently
+    px = np.frombuffer(payload[payload.index(b"255\n") + 4:], dtype=np.uint8)
+    rgb = px.reshape(4, 6, 3).astype(np.float64) / 255.0
+    expect = [
+        6 / 4096.0, 4 / 4096.0,
+        rgb[:, :, 0].mean(), rgb[:, :, 1].mean(), rgb[:, :, 2].mean(),
+        rgb.mean(), rgb.std(), 1.0,
+    ]
+    assert _decode_ppm(payload) == pytest.approx(expect)
+
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(payload), None)], MEDIA_SCHEMA
+    )
+    out = extract_features(media, fake_decode=False).collect()
+    assert len(out) == 1
+    # float32 storage in the feature column → approx at float precision
+    assert out[0]["feature"] == pytest.approx(expect, abs=1e-6)
+    assert out[0]["payload_sha256"] == hashlib.sha256(payload).hexdigest()
+    # decode is deterministic: a second run yields the identical row
+    again = extract_features(media, fake_decode=False).collect()
+    assert again[0]["feature"] == out[0]["feature"]
+
+
+def test_ppm_decode_rejects_corrupt_payloads():
+    from translator_ingests_spark.functions.multimodal import _decode_ppm, decode_image
+
+    with pytest.raises(ValueError):
+        _decode_ppm(_make_ppm(6, 4)[:-5])  # truncated raster
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n", fake=False)  # codec-bound format stays gated

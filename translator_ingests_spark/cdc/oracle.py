@@ -22,6 +22,7 @@ def replay_oracle(events: list[dict]) -> dict[tuple[str, str], dict]:
     Schema-change events affect column presence, not row survival.
     """
     added_cols: list[str] = []
+    dropped_base: set[str] = set()  # base columns removed by drop_column
     renames: list[tuple[str, str]] = []  # in application order, supports chains
     state: dict[tuple[str, str], dict] = {}
     tomb: dict[tuple[str, str], int] = {}
@@ -48,9 +49,22 @@ def replay_oracle(events: list[dict]) -> dict[tuple[str, str], dict]:
             sc = ev["schema_change"]
             if sc["kind"] == "add_column" and sc["column"] not in added_cols:
                 added_cols.append(sc["column"])
+                # a re-add after a drop mints a NEW column: old rows must
+                # not resurface the dropped values, and the purge below
+                # already removed them — nothing more to do here
             elif sc["kind"] == "rename_column":
                 renames.append((sc["column"], sc["new_name"]))
                 added_cols = [sc["new_name"] if c == sc["column"] else c for c in added_cols]
+            elif sc["kind"] == "drop_column":
+                col = sc["column"]
+                if col in added_cols:
+                    added_cols.remove(col)
+                else:
+                    dropped_base.add(col)
+                # metadata drop is immediate: the column disappears from
+                # every existing row (field-id alignment in the engine)
+                for row in state.values():
+                    row.pop(col, None)
             continue
         key = (ev["repo"], ev["path"])
         prior_lsn = state[key]["last_lsn"] if key in state else tomb.get(key, -1)
@@ -72,6 +86,8 @@ def replay_oracle(events: list[dict]) -> dict[tuple[str, str], dict]:
             else None,
             "last_lsn": ev["lsn"],
         }
+        for c in dropped_base:
+            row.pop(c, None)  # dropped base columns never re-enter via writes
         extras = ev.get("extras") or {}
         for c in added_cols:
             row[c] = extras.get(c)

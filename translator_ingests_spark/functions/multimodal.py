@@ -51,16 +51,66 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+def _decode_ppm(payload: bytes) -> list[float]:
+    """Real, dependency-free decode of a binary PPM (P6) image: header
+    tokenizer (whitespace + ``#`` comments per the netpbm spec), then the
+    raw RGB plane via numpy. Returns the engine's 8-dim feature:
+    (w, h scaled) + per-channel means + overall mean + contrast (std) +
+    maxval flag — deterministic and byte-stable across replays."""
+    import numpy as np
+
+    buf = payload
+    i, tokens = 2, []  # past the 'P6' magic
+    while len(tokens) < 3:
+        while i < len(buf) and buf[i : i + 1].isspace():
+            i += 1
+        if buf[i : i + 1] == b"#":
+            while i < len(buf) and buf[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(buf) and not buf[j : j + 1].isspace():
+            j += 1
+        if i == j:
+            raise ValueError("truncated PPM header")
+        tokens.append(int(buf[i:j]))
+        i = j
+    w, h, maxval = tokens
+    i += 1  # exactly one whitespace byte separates maxval from the raster
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM rasters not supported")
+    px = np.frombuffer(buf, dtype=np.uint8, offset=i, count=w * h * 3)
+    if px.size != w * h * 3:
+        raise ValueError("truncated PPM raster")
+    rgb = px.reshape(h, w, 3).astype(np.float64) / maxval
+    return [
+        float(w) / 4096.0,
+        float(h) / 4096.0,
+        float(rgb[:, :, 0].mean()),
+        float(rgb[:, :, 1].mean()),
+        float(rgb[:, :, 2].mean()),
+        float(rgb.mean()),
+        float(rgb.std()),
+        maxval / 255.0,
+    ]
+
+
 def decode_image(payload: bytes, fake: bool = True) -> list[float]:
     """Decode + feature-extract one image payload.
 
     ``fake=True`` (tests / this container): a deterministic 8-dim feature
     from the payload digest — byte-stable across replays.
-    ``fake=False``: the real decoder slot — not available here.
+    ``fake=False``: REAL decode — binary PPM (P6) is parsed end-to-end in
+    pure Python/numpy inside the Arrow batch (no codec libraries needed);
+    codec-bound formats (PNG/JPEG/...) still raise — PIL/ffmpeg are not in
+    this container and faking them would hide a production gap.
     """
     if not fake:
+        if payload[:2] == b"P6":
+            return _decode_ppm(payload)
         raise NotImplementedError(
-            "real media decode requires PIL/ffmpeg, not present in this container"
+            "real media decode beyond PPM requires PIL/ffmpeg, not present "
+            "in this container"
         )
     digest = hashlib.sha256(payload).digest()
     return [b / 255.0 for b in digest[:8]]

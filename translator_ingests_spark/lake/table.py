@@ -652,7 +652,11 @@ class LakeTable:
                 return snap  # idempotent replay
             if new_type not in _SPARK_TYPES:
                 raise ValueError(f"unsupported type {new_type!r}")
-            new_id = schema.max_id() + 1
+            # field ids are NEVER reused: max over every historical schema
+            # version, not just the current one — otherwise re-adding a name
+            # after drop_column would recycle the dropped id and old files'
+            # values would leak into the new column
+            new_id = max(s.max_id() for s in snap.schemas.values()) + 1
             fields.append(LakeField(new_id, column, new_type))
             if at_lsn is not None:
                 added_lsn[new_id] = at_lsn
@@ -680,6 +684,21 @@ class LakeTable:
             if new_type not in _WIDENINGS.get(old.type, set()):
                 raise ValueError(f"illegal widen {old.type} -> {new_type}")
             fields[fields.index(old)] = LakeField(old.field_id, column, new_type)
+        elif kind == "drop_column":
+            if column not in names:
+                return snap  # already dropped (idempotent replay)
+            if column in snap.key_cols or column == snap.lsn_col:
+                raise ValueError(
+                    f"cannot drop engine column {column!r} (key/lsn columns are fixed)"
+                )
+            old = names[column]
+            # METADATA-ONLY via field ids: old data files keep the column's
+            # bytes, but _read_files aligns every file to the CURRENT schema
+            # by field id, so a dropped id simply stops projecting — and a
+            # later add_column with the same NAME mints a fresh id, so the
+            # dropped column's old values can never leak into it.
+            fields.remove(old)
+            added_lsn.pop(old.field_id, None)
         else:
             raise ValueError(f"unknown schema change kind {kind!r}")
 
