@@ -43,20 +43,20 @@ _PRIORITY = [
     "validation_report_counts",
     "multi_source_merge_final_state",
     "cdc_changes_feed",
-    "normalize_ids_strict",
+    "normalize_modes",
     "normalize_failures",
+    "cdc_log_projection",
     # -- tier 2: LLM-pipeline operators (dedup / similarity / text) --
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "dedup_simhash_pairs",
     "ann_cosine_topk",
     "ann_lsh_bucketed",
     "ann_ivf_flat",
     "embedding_cosine_neardup",
-    "token_count",
-    "text_quality_score",
-    "lang_id_ngram",
+    "text_metrics",
     "doc_fingerprint",
     # -- tier 3: relational / analytics / reference shapes / temporal --
     "q1_pricing_summary",
@@ -88,19 +88,16 @@ _PRIORITY = [
     "range_join_follow_events",
     "windowed_event_counts",
     "session_windows_per_user",
-    # -- tail: entries a driver-side cap truncates first. The two rows-only
-    # gates lose nothing hash-verified; cdc_log_projection's projection/
-    # pruning behavior is separately plan-asserted in tests/test_plans.py;
-    # dedup_simhash (signatures) is transitively exercised by the
-    # dedup_simhash_pairs gate, which recomputes the signatures it emits;
-    # normalize_ids_lenient is the mode-flag twin of the gated strict
-    # variant (same operator, same map join — only the failure disposition
-    # differs, and normalize_failures gates that side-output directly).
-    "normalize_ids_lenient",
-    "dedup_simhash",
-    "cdc_log_projection",
+    # -- tail: the ONLY entries beyond the driver's 50-entry cap are the two
+    # rows-only gates (no oracle SQL by design: manifest metrics are engine
+    # artifacts with no DuckDB equivalent; approx/sample stats are
+    # approximate/sampled). Every oracle-able entry sits inside the cap —
+    # round-3's truncated oracle-able tail (normalize_ids_lenient,
+    # dedup_simhash, cdc_log_projection) is now driver-visible via the
+    # normalize_modes composite and reordering. The two tail entries remain
+    # pytest-covered (tests/test_stats_artifact.py, manifest scenarios).
     "cdc_manifest_metrics",
-    "approx_and_sample_stats",  # rows-only gate by design
+    "approx_and_sample_stats",
 ]
 
 _DRIVER_EXCLUDED = {"distinct_dedup"}

@@ -212,10 +212,85 @@ FROM documents ORDER BY doc_id
 """
 
 
+def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite per-document text analysis — token counting, quality
+    heuristics and stopword-profile language ID in ONE scan of the
+    documents table (the production shape: a pretraining pipeline computes
+    every per-doc metric in a single pass). Registered as the driver-gated
+    composite for the token_count / text_quality_score / lang_id_ngram
+    operators, all of which stay individually exported for bench/pytest."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = _tokens(F.col("text"))
+    dtoks = F.array_distinct(toks)
+    n_tok = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda x: x.isin(STOP_EN)))
+    punct = F.length(F.regexp_replace(F.col("text"), "[^.,;:!?]", ""))
+    s_en = F.size(F.array_intersect(dtoks, F.array(*[F.lit(w) for w in STOP_EN])))
+    s_de = F.size(F.array_intersect(dtoks, F.array(*[F.lit(w) for w in STOP_DE])))
+    s_fr = F.size(F.array_intersect(dtoks, F.array(*[F.lit(w) for w in STOP_FR])))
+    pred = (
+        F.when((s_en == 0) & (s_de == 0) & (s_fr == 0), F.lit("unknown"))
+        .when((s_en >= s_de) & (s_en >= s_fr), F.lit("en"))
+        .when(s_de >= s_fr, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    return (
+        docs.select(
+            "doc_id",
+            n_tok.alias("n_tokens"),
+            F.size(dtoks).alias("n_unique_tokens"),
+            F.round(punct / F.length("text"), 4).alias("punct_ratio"),
+            F.round(stop_hits / n_tok, 4).alias("stopword_ratio"),
+            (
+                (F.length("text") >= 100)
+                & (n_tok >= 20)
+                & ((stop_hits / n_tok) >= 0.02)
+            ).alias("passes_quality"),
+            pred.alias("lang_pred"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_METRICS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(text), '[^a-zA-Z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), d AS (
+  SELECT doc_id, text, toks, list_distinct(toks) AS dtoks FROM t
+), s AS (
+  SELECT doc_id, text, toks, dtoks,
+         len(list_filter(toks, x -> list_contains({_STOP_EN_SQL}, x))) AS stop_hits,
+         len(list_intersect(dtoks, {_STOP_EN_SQL})) AS score_en,
+         len(list_intersect(dtoks, {_STOP_DE_SQL})) AS score_de,
+         len(list_intersect(dtoks, {_STOP_FR_SQL})) AS score_fr
+  FROM d
+)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       len(dtoks) AS n_unique_tokens,
+       round(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0
+             / length(text), 4) AS punct_ratio,
+       round(stop_hits * 1.0 / len(toks), 4) AS stopword_ratio,
+       (length(text) >= 100 AND len(toks) >= 20
+        AND stop_hits * 1.0 / len(toks) >= 0.02) AS passes_quality,
+       CASE WHEN score_en = 0 AND score_de = 0 AND score_fr = 0 THEN 'unknown'
+            WHEN score_en >= score_de AND score_en >= score_fr THEN 'en'
+            WHEN score_de >= score_fr THEN 'de'
+            ELSE 'fr' END AS lang_pred
+FROM s
+ORDER BY doc_id
+"""
+
+
+# token_count / text_quality_score / lang_id_ngram are driver-gated through
+# the text_metrics composite (one scan, all per-doc metrics) so every
+# oracle-able operator fits the driver's 50-entry cap; the individual
+# queries remain exported for bench and pytest.
 QUERIES = {
-    "token_count": (token_count, TOKEN_COUNT_SQL),
-    "text_quality_score": (text_quality_score, TEXT_QUALITY_SQL),
-    "lang_id_ngram": (lang_id_ngram, LANG_ID_SQL),
+    "text_metrics": (text_metrics, TEXT_METRICS_SQL),
     "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),
     "content_sha256_invariant": (content_sha256_invariant, CONTENT_SHA256_SQL),
 }
