@@ -267,15 +267,11 @@ class CdcEngine:
         # (Logs that interleave already-applied and new LSNs in one call are
         # outside the checkpoint contract — resume must re-derive the same
         # batching, exactly like resuming a Kafka offset checkpoint.)
+        # DATA-event LSNs only: the manifests' applied ranges cover data
+        # events, so trailing/leading schema events (idempotent to replay
+        # either way) must not tip a clean replay into the mixed-log case
         min_lsn = min(
-            (
-                x
-                for x in (
-                    [r["lsn_min"] for r in meta_rows]
-                    + [s["lsn"] for s in schema_rows_all]
-                )
-                if x is not None
-            ),
+            (r["lsn_min"] for r in meta_rows if r["lsn_min"] is not None),
             default=None,
         )
         prev_max = max(
@@ -287,14 +283,7 @@ class CdcEngine:
             default=None,
         )
         max_lsn = max(
-            (
-                x
-                for x in (
-                    [r["lsn_max"] for r in meta_rows]
-                    + [s["lsn"] for s in schema_rows_all]
-                )
-                if x is not None
-            ),
+            (r["lsn_max"] for r in meta_rows if r["lsn_max"] is not None),
             default=None,
         )
         base_unit = 0
