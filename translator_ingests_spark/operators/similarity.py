@@ -690,11 +690,12 @@ def ivf_recall_at_k(
     regime where small nprobe earns high recall; on this fixture the
     recall gate is therefore stated at the nprobe that reaches it."""
     truth = {
-        (r["q_id"], r["c_id"]) for r in ann_cosine_topk(spark, sf_dir).collect()
+        (r["q_id"], r["c_id"])
+        for r in ann_cosine_topk(spark, sf_dir).collect()  # bounded-collect: queries x top-k <= 50 rows
     }
     approx = {
         (r["q_id"], r["c_id"])
-        for r in ann_ivf_flat(spark, sf_dir, nprobe=nprobe).collect()
+        for r in ann_ivf_flat(spark, sf_dir, nprobe=nprobe).collect()  # bounded-collect: queries x top-k <= 50 rows
     }
     return len(truth & approx) / max(1, len(truth))
 
