@@ -34,23 +34,12 @@ def test_ivf_recall_at_5_meets_gate(spark):
     assert r6 > r2 >= 0.2, (r2, r6)
 
 
-def test_large_k_arrow_path_matches_literal_fold(spark):
-    """The Arrow assignment/probe path (taken when K > _IVF_FOLD_MAX) must
-    reduce to the same result as the codegen literal fold on identical
+def test_arrow_path_matches_literal_fold(spark):
+    """The Arrow assignment/probe path (the default) must reduce to the
+    same result as the pure-JVM literal-fold reference on identical
     centroids — same argmax tie-break, same candidate set."""
-    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
-    n = emb.count()
-    k = sim._ivf_k(n)
-    step = max(1, n // k)
-    cent_ids = [i * step for i in range(k)]
-    cent_rows = sorted(
-        emb.filter(F.col("vec_id").isin(cent_ids))
-        .select("vec_id", "embedding", sim._norm(F.col("embedding")).alias("cnorm"))
-        .collect(),
-        key=lambda r: r["vec_id"],
-    )
-    assert _rows(sim._ann_ivf_large_k(emb, cent_rows)) == _rows(
-        sim.ann_ivf_flat(spark, SF)
+    assert _rows(sim.ann_ivf_flat(spark, SF)) == _rows(
+        sim.ann_ivf_flat_fold(spark, SF)
     )
 
 

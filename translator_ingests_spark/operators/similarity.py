@@ -390,18 +390,30 @@ def ann_ivf_flat(spark: SparkSession, sf_dir: str, nprobe: int = _IVF_NPROBE) ->
     Index build: K centroids = evenly-spaced corpus vectors (a deterministic
     sampled coarse quantizer — k-means would sharpen the cells but make the
     result oracle-inexpressible); every corpus vector is assigned to its
-    max-cosine centroid ENTIRELY map-side — the centroid table (K rows, with
-    norms precomputed by the same engine expression the oracle uses) rides
-    along as a literal array and `F.aggregate` folds over it per row, so the
-    corpus is never shuffled or exploded K×.
+    max-cosine centroid ENTIRELY map-side — the K×64 centroid matrix is a
+    task-closure constant and each Arrow batch does one numpy matmul +
+    row-wise argmax, so the corpus is never shuffled or exploded K×. (The
+    pure-expression alternative, an `F.aggregate` fold over a centroid
+    literal, is retained as :func:`ann_ivf_flat_fold` — Catalyst evaluates
+    higher-order-function lambdas INTERPRETED per element, so the fold pays
+    ~K·dims interpreted ops per row where the Arrow path pays one
+    vectorized matmul; equivalence is pytest-asserted.)
 
-    Query: each query vector probes its ``_IVF_NPROBE`` best cells; exact
-    cosine within the probed cells; top-5 per query. At 100 TB the corpus
-    would be written partitioned by cell id (partition pruning turns a probe
-    into reading nprobe/K of the data); here the tiny (q_id, cell) pairs
+    Query: each query vector probes its ``nprobe`` best cells; exact cosine
+    (the same JVM fold the oracle encodes — bit-identical doubles) within
+    the probed cells; top-5 per query. At 100 TB the corpus is written
+    partitioned by cell id (see :func:`build_ivf_index` /
+    :func:`ann_ivf_flat_indexed` — partition pruning turns a probe into
+    reading nprobe/K of the data); here the tiny (q_id, cell) pairs
     broadcast onto the corpus scan, which is the same plan shape.
     """
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cent_rows = _ivf_centroids(emb)
+    return _ann_ivf_arrow(emb, cent_rows, nprobe)
+
+
+def _ivf_centroids(emb: DataFrame):
+    """Deterministic evenly-spaced centroid rows (cid-ordered), K corpus-scaled."""
     n = emb.count()
     k = _ivf_k(n)  # corpus-scaled: 16 at test scales, ~√(n/64) beyond
     step = max(1, n // k)
@@ -412,10 +424,21 @@ def ann_ivf_flat(spark: SparkSession, sf_dir: str, nprobe: int = _IVF_NPROBE) ->
         .collect()  # bounded-collect: K ≈ √(n/64) centroid rows
     )
     cent_rows.sort(key=lambda r: r["vec_id"])
+    return cent_rows
+
+
+def ann_ivf_flat_fold(spark: SparkSession, sf_dir: str, nprobe: int = _IVF_NPROBE) -> DataFrame:
+    """Pure-JVM-expression IVF reference: cell assignment as an
+    `F.aggregate` fold over the centroid literal. Kept as the equivalence
+    oracle for the Arrow path (and the no-Python-anywhere fallback); the
+    interpreted per-element lambda cost makes the Arrow path the default.
+    """
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cent_rows = _ivf_centroids(emb)
+    k = len(cent_rows)
     if k > _IVF_FOLD_MAX:
-        # large-K regime: the centroid table no longer fits a codegen
-        # literal fold — assign and probe through the Arrow batch path
-        return _ann_ivf_large_k(emb, cent_rows, nprobe)
+        # the fold's literal would leave codegen entirely — delegate
+        return _ann_ivf_arrow(emb, cent_rows, nprobe)
     # literal array of (cid, cnorm, vec) structs, ordered by cid — the fold
     # below keeps the FIRST max on exact ties, matching the oracle's
     # (score DESC, cid ASC) tie-break
@@ -523,10 +546,10 @@ def _probe_cells_arrow(q, vec_col: str, cent_rows, nprobe: int):
     )
 
 
-def _ann_ivf_large_k(emb, cent_rows, nprobe: int = _IVF_NPROBE):
-    """IVF-flat for the large-K regime: Arrow-vectorized assignment + probe
-    (closure-broadcast centroid matrix), then the same broadcast-probe
-    candidate join and per-query top-K as the literal-fold path."""
+def _ann_ivf_arrow(emb, cent_rows, nprobe: int = _IVF_NPROBE):
+    """IVF-flat core: Arrow-vectorized assignment + probe (closure-broadcast
+    centroid matrix), then the broadcast-probe candidate join, exact JVM
+    cosine on candidates, and per-query top-K."""
     from pyspark.sql import Window as W
 
     corpus = _assign_cells_arrow(
