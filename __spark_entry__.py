@@ -50,6 +50,7 @@ _PRIORITY = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_components",
     "dedup_simhash",
     "dedup_simhash_pairs",
     "ann_cosine_topk",
@@ -76,8 +77,7 @@ _PRIORITY = [
     "string_agg_per_group",
     "groupby_multi_agg",
     "json_extraction",
-    "rollup_revenue",
-    "cube_order_stats",
+    "grouping_sets_stats",
     "pivot_event_counts",
     "dominant_element",
     "set_union_reagg",

@@ -192,3 +192,38 @@ def test_embedding_band_geometry_stays_inside_signature():
         assert b >= 2  # at least two bands: banding stays a recall knob
         if n <= 16_384:
             assert (w, b) == (8, 8)
+
+
+def test_components_match_union_find(spark):
+    """dedup_components = exact connected components of the near-dup pair
+    graph: verify against a driver-side union-find over the same pairs
+    (transitivity: A~B, B~C ⇒ one cluster even when A!~C directly)."""
+    from translator_ingests_spark.operators.dedup import (
+        dedup_components,
+        dedup_ngram_jaccard,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    pairs = [(r["doc_a"], r["doc_b"]) for r in dedup_ngram_jaccard(spark, sf).collect()]
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup_components(spark, sf).collect()}
+    for doc, cid in got.items():
+        if doc in parent:
+            # canonical representative = min doc id of the component
+            comp = [d for d in parent if find(d) == find(doc)]
+            assert cid == min(comp), (doc, cid)
+        else:
+            assert cid == doc  # singleton

@@ -423,10 +423,96 @@ ORDER BY doc_a, doc_b
 """
 
 
+
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the n-gram
+    Jaccard near-dup pair graph, cluster id = the minimum doc_id reachable
+    (canonical representative). The missing half of pair-emitting dedup —
+    a pipeline drops all but one doc per cluster, so it needs the cluster
+    assignment, not just pairs.
+
+    Algorithm: iterative min-label propagation to a fixpoint — per round,
+    every node takes min(own label, neighbors' labels); rounds needed =
+    graph diameter (near-dup clusters are shallow; the bound guards
+    pathology). Each round is one equi-join + one primitive min
+    aggregation — shuffle keys are node ids, never doc×doc. At 10^10 docs
+    the same loop runs with the large-star/small-star transform halving
+    the diameter per round (log rounds); the per-round plan is identical.
+    The convergence check rides the SAME job that materializes the round's
+    labels (count of changed labels), so each round is exactly one job.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.selectExpr("doc_a AS u", "doc_b AS v")
+        .unionByName(pairs.selectExpr("doc_b AS u", "doc_a AS v"))
+        .persist()
+    )
+    labels = docs.select(F.col("doc_id"), F.col("doc_id").alias("cluster_id"))
+    for _ in range(24):  # diameter bound; asserts below if ever hit
+        nbr = (
+            edges.join(labels, edges["v"] == labels["doc_id"])
+            .groupBy("u")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["doc_id"] == nbr["u"], "left")
+            .select(
+                labels["doc_id"],
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
+                ).alias("cluster_id"),
+                (F.coalesce("nbr_min", F.col("cluster_id")) < F.col("cluster_id"))
+                .cast("long")
+                .alias("__changed"),
+            )
+            .persist()
+        )
+        changed = new_labels.agg(F.sum("__changed")).collect()[0][0]  # bounded-collect: one scalar
+        labels.unpersist()  # no-op on the first (uncached) round
+        labels = new_labels.drop("__changed")
+        if not changed:
+            break
+    else:
+        raise RuntimeError("component propagation did not converge in 24 rounds")
+    edges.unpersist()
+    return labels.orderBy("doc_id")
+
+
+DEDUP_COMPONENTS_SQL = f"""
+WITH RECURSIVE {_CAPPED_SH_CTE}, sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), pairs AS (
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+), edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+), reach AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u
+)
+SELECT d.doc_id, least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster_id
+FROM documents d LEFT JOIN reach r ON d.doc_id = r.u
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
+    "dedup_components": (dedup_components, DEDUP_COMPONENTS_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_simhash_pairs": (dedup_simhash_pairs, DEDUP_SIMHASH_PAIRS_SQL),
 }
