@@ -115,3 +115,42 @@ def test_build_version_stable_hash():
     b = build_version({"normalizer": "9", "code": "abc", "source": "1.2"})
     assert a == b and len(a) == 12
     assert a != build_version({"source": "1.3", "code": "abc", "normalizer": "9"})
+
+
+def test_execute_fetch_plan_file_urls(tmp_path):
+    """S1 download execution: the substituted fetch plan streams through the
+    real urllib path (file:// here — this sandbox has no network; http(s)
+    uses the same opener), with atomic placement, sha256 sidecars, and
+    idempotent re-runs."""
+    import hashlib as _h
+
+    from translator_ingests_spark.sources.control_plane import (
+        execute_fetch_plan,
+        substitute_all,
+    )
+
+    src_dir = tmp_path / "remote" / "2024-01-02"
+    src_dir.mkdir(parents=True)
+    (src_dir / "nodes.tsv").write_bytes(b"id\tname\n1\ta\n")
+    (src_dir / "edges.tsv").write_bytes(b"s\to\n1\t2\n")
+
+    plan = substitute_all(
+        [f"file://{tmp_path}/remote/{{version}}/nodes.tsv",
+         f"file://{tmp_path}/remote/{{version}}/edges.tsv"],
+        "2024-01-02",
+    )
+    staging = str(tmp_path / "staging")
+    got = execute_fetch_plan(plan, staging)
+    assert [g["skipped"] for g in got] == [False, False]
+    assert got[0]["sha256"] == _h.sha256(b"id\tname\n1\ta\n").hexdigest()
+    assert open(f"{staging}/nodes.tsv", "rb").read() == b"id\tname\n1\ta\n"
+
+    # idempotent re-run: digests match → both skipped, bytes untouched
+    again = execute_fetch_plan(plan, staging)
+    assert [g["skipped"] for g in again] == [True, True]
+
+    # corrupted staging file → digest mismatch → re-fetched
+    open(f"{staging}/nodes.tsv", "wb").write(b"tampered")
+    healed = execute_fetch_plan(plan, staging)
+    assert healed[0]["skipped"] is False
+    assert open(f"{staging}/nodes.tsv", "rb").read() == b"id\tname\n1\ta\n"

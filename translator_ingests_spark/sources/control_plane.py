@@ -79,3 +79,61 @@ def build_version(components: dict[str, str]) -> str:
     (metadata.py:74-83 + merging.py:255 md5-of-sorted-builds)."""
     canon = "|".join(f"{k}={components[k]}" for k in sorted(components))
     return hashlib.md5(canon.encode()).hexdigest()[:12]
+
+
+def execute_fetch_plan(
+    urls: list[str],
+    staging_dir: str,
+    opener: Callable[[str], "object"] | None = None,
+    skip_existing: bool = True,
+) -> list[dict]:
+    """S1: execute a substituted fetch plan into a local staging directory.
+
+    Real download path (reference download_utils.py:13-92), driver-plane:
+    each URL streams through ``urllib`` to ``staging_dir/<basename>`` with
+    crash-safe atomic placement (tmp + rename), a sha256 digest recorded in
+    a sidecar manifest, and idempotent re-runs (``skip_existing`` keeps a
+    file whose recorded digest still matches). ``file://`` URLs exercise
+    the identical code path offline — the form every test here uses, since
+    this sandbox has no network; http(s) flows through the same opener.
+    An injected ``opener`` substitutes for urllib in tests/probes.
+    """
+    import shutil
+    import urllib.request
+
+    os.makedirs(staging_dir, exist_ok=True)
+    results = []
+    for url in urls:
+        name = os.path.basename(url.rstrip("/")) or hashlib.md5(url.encode()).hexdigest()
+        dest = os.path.join(staging_dir, name)
+        sidecar = dest + ".fetch.json"
+        if skip_existing and os.path.exists(dest) and os.path.exists(sidecar):
+            with open(sidecar) as fh:
+                rec = json.load(fh)
+            h = hashlib.sha256()
+            with open(dest, "rb") as fh:
+                for chunk in iter(lambda: fh.read(1 << 20), b""):
+                    h.update(chunk)
+            if rec.get("sha256") == h.hexdigest():
+                results.append({**rec, "skipped": True})
+                continue
+        tmp = dest + ".tmp"
+        h = hashlib.sha256()
+        src = opener(url) if opener is not None else urllib.request.urlopen(url)
+        try:
+            with open(tmp, "wb") as out:
+                for chunk in iter(lambda: src.read(1 << 20), b""):
+                    h.update(chunk)
+                    out.write(chunk)
+        finally:
+            close = getattr(src, "close", None)
+            if close:
+                close()
+        os.replace(tmp, dest)  # atomic: a crash never leaves a partial dest
+        rec = {"url": url, "path": dest, "sha256": h.hexdigest(),
+               "bytes": os.path.getsize(dest)}
+        with open(sidecar + ".tmp", "w") as fh:
+            json.dump(rec, fh)
+        os.replace(sidecar + ".tmp", sidecar)
+        results.append({**rec, "skipped": False})
+    return results
