@@ -37,6 +37,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     # -- tier 1: the CDC engine itself (north rule) --
     "cdc_replay_final_state",
+    "cdc_replay_mor",
     "content_sha256_invariant",
     "cdc_lww_reduce_only",
     "graph_metadata_stats",
@@ -51,7 +52,6 @@ _PRIORITY = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_components",
-    "dedup_simhash",
     "dedup_simhash_pairs",
     "ann_cosine_topk",
     "ann_lsh_bucketed",
@@ -100,7 +100,15 @@ _PRIORITY = [
     "approx_and_sample_stats",
 ]
 
-_DRIVER_EXCLUDED = {"distinct_dedup"}
+_DRIVER_EXCLUDED = {
+    "distinct_dedup",
+    # signatures-only view, transitively exercised by the driver-gated
+    # dedup_simhash_pairs (which recomputes the same signatures before
+    # banding); excluded so the 50-entry driver cap fits every OTHER
+    # oracle-able entry incl. the MOR replay. Still oracle-checked by the
+    # local harness (tools/check_correctness.py --full) and pytest.
+    "dedup_simhash",
+}
 
 
 def _registry(full: bool = False) -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
@@ -140,7 +148,7 @@ def _registry(full: bool = False) -> dict[str, tuple[Callable[[SparkSession, str
         return reg
     ordered: dict[str, tuple] = {}
     for name in _PRIORITY:
-        if name in reg:
+        if name in reg and name not in _DRIVER_EXCLUDED:
             ordered[name] = reg[name]
     for name, entry_ in reg.items():  # safety net for unlisted additions
         if name not in ordered and name not in _DRIVER_EXCLUDED:

@@ -156,10 +156,36 @@ def main():
             finally:
                 shutil.rmtree(root, ignore_errors=True)
 
+        def run_clustered_mor() -> tuple[float, float]:
+            # the SAME clustered-update scenario in merge-on-read mode: each
+            # batch commits as delta files (no base rewrite), so write cost
+            # is O(batch) instead of O(touched buckets). The folded read
+            # afterwards is timed separately — the MOR trade measured on
+            # both sides.
+            root = tempfile.mkdtemp(prefix="bench_mor_")
+            try:
+                eng = CdcEngine(spark, root, num_buckets=256,
+                                use_arrow_normalize=False, write_mode="mor",
+                                auto_compact_every=None)
+                eng.apply_log(
+                    spark.read.parquet(seed_path),
+                    n_batches=1, total_events=200_000, cache_log=False,
+                )
+                clu = spark.read.parquet(clu_path)
+                t0 = time.monotonic()
+                eng.apply_log(clu, n_batches=3, total_events=cn, cache_log=False)
+                w = time.monotonic() - t0
+                t0 = time.monotonic()
+                eng.final_state().count()  # read through the LWW fold
+                return w, time.monotonic() - t0
+            finally:
+                shutil.rmtree(root, ignore_errors=True)
+
         points = {
             "replay": run_replay,
             "generator": run_generator,
             "clustered": run_clustered,
+            "clustered_mor": run_clustered_mor,
         }
         best: dict[str, float] = {}
         for _it in range(N_ITERS):
@@ -173,9 +199,12 @@ def main():
     elapsed = best["replay"]
     gen_elapsed = best["generator"]
     clu_elapsed = best["clustered"]
+    mor_w, mor_r = best["clustered_mor"]  # tuple-min: write time primary
     timings["cdc_replay_full_engine"] = round(elapsed, 3)
     timings["cdc_apply_generator_500k_1kb"] = round(gen_elapsed, 3)
     timings["cdc_apply_clustered_updates_300k"] = round(clu_elapsed, 3)
+    timings["cdc_apply_mor_clustered_300k"] = round(mor_w, 3)
+    timings["cdc_mor_folded_read"] = round(mor_r, 3)
 
     print(
         json.dumps(
@@ -187,6 +216,7 @@ def main():
                 "n_events": n_events,
                 "generator_events_per_sec": round(gn / gen_elapsed, 1),
                 "clustered_update_events_per_sec": round(cn / clu_elapsed, 1),
+                "mor_clustered_events_per_sec": round(cn / mor_w, 1),
                 "best_of": N_ITERS,
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

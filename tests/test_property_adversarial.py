@@ -6,6 +6,7 @@ replay of the same log must be a byte-identical no-op (exactly-once)."""
 
 import hashlib
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -65,15 +66,20 @@ def _engine_state(eng):
     }
 
 
+@pytest.mark.parametrize("mode", ["cow", "mor"])
 @settings(max_examples=6, deadline=None,
           suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
 @given(adversarial_logs())
-def test_full_engine_adversarial_replay(spark, tmp_path_factory, events):
+def test_full_engine_adversarial_replay(spark, tmp_path_factory, mode, events):
     root = tmp_path_factory.mktemp("adv")
     # auto_compact_every=1: a watermark-gated tombstone compaction after
     # EVERY committed unit — compaction interleaves with schema evolution,
-    # deletes and redelivery inside a single apply
-    eng = CdcEngine(spark, str(root / "cdc"), num_buckets=4, auto_compact_every=1)
+    # deletes and redelivery inside a single apply. In "mor" mode that
+    # cadence also FOLDS each unit's delta files back into base mid-stream,
+    # so the property exercises write → fold → write interleaving on top of
+    # the four original axes.
+    eng = CdcEngine(spark, str(root / "cdc"), num_buckets=4, auto_compact_every=1,
+                    write_mode=mode)
     df = spark.createDataFrame(events, EVENT_SCHEMA)
     eng.apply_log(df, events_per_batch=3)
 
@@ -97,6 +103,7 @@ def test_full_engine_adversarial_replay(spark, tmp_path_factory, events):
     # exactly-once: replaying the SAME log is a no-op — identical state,
     # identical snapshot version (only compaction snapshots may differ)
     before = _engine_state(eng)
-    eng2 = CdcEngine(spark, str(root / "cdc"), num_buckets=4, auto_compact_every=1)
+    eng2 = CdcEngine(spark, str(root / "cdc"), num_buckets=4, auto_compact_every=1,
+                     write_mode=mode)
     eng2.apply_log(df, events_per_batch=3)
     assert _engine_state(eng2) == before

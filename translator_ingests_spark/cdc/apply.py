@@ -100,6 +100,7 @@ class CdcEngine:
         salt_buckets: int = 32,
         auto_compact_every: int | None = 16,
         small_batch_events: int = 1_000_000,
+        write_mode: str = "cow",
     ):
         self.spark = spark
         self.root = root
@@ -121,6 +122,16 @@ class CdcEngine:
         # there — see lww_reduce's `simple` path); larger batches take the
         # decomposed primitive-buffer plan that holds 0.8+ scaling at 96M
         self.small_batch_events = small_batch_events
+        # "cow" rewrites touched bucket files per batch (read-optimized);
+        # "mor" (merge-on-read) writes each batch as delta files — O(batch)
+        # write cost regardless of key spread, resolved at read by the LWW
+        # fold and folded into base files on the auto-compact cadence. Same
+        # final state either way (pytest-asserted); pick "mor" when batches
+        # are small relative to the buckets they touch (scattered updates on
+        # a huge table — the COW write-amplification regime).
+        if write_mode not in ("cow", "mor"):
+            raise ValueError(f"unknown write_mode {write_mode!r}")
+        self.write_mode = write_mode
         self.code_hash = compute_code_hash()
         self.table = LakeTable(spark, os.path.join(root, "lake"))
         self._ckpt_dir = os.path.join(root, "ckpt")
@@ -590,6 +601,7 @@ class CdcEngine:
                 # streaming epochs take the explicit-count path
                 use_observation=self._delivery != "stream",
                 delivery=self._delivery,
+                mode=self.write_mode,
             )
             if winners is not None:
                 winners.unpersist()

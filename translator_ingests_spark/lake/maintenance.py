@@ -66,8 +66,15 @@ def _rewrite_files(
     tombstones (watermark-gated), write ~target_files range-partitioned
     key-sorted files, and commit a snapshot whose manifest splices
     ``keep`` (untouched, never read) with the new files. Cost is
-    O(rewrite), never O(table), when callers select a subset."""
-    df = table._read_files(snap, rewrite, raw=True)
+    O(rewrite), never O(table), when callers select a subset.
+
+    Merge-on-read delta files in ``rewrite`` are resolved to their per-key
+    winners first (``_net_raw``'s LWW fold — ``rewrite`` must then be a
+    bucket-closure-complete subset, which both callers guarantee); the
+    rewritten output is plain base files, restoring the COW disjointness
+    invariant for every bucket touched — THIS is what bounds MOR read
+    amplification on the auto-compact cadence."""
+    df = table._net_raw(snap, rewrite)
     if drop_tombstones:
         from translator_ingests_spark.lake.table import TOMBSTONE_COL
 
@@ -185,9 +192,20 @@ def compact_incremental(
     (disjoint coverage), so rewriting any subset of files preserves exactly
     that subset's rows. Tombstones still ABOVE the low watermark survive
     the rewrite (watermark gate, unchanged) and their file stays flagged —
-    it is re-examined on the next cadence until the watermark passes."""
+    it is re-examined on the next cadence until the watermark passes.
+
+    Merge-on-read DELTA files are always selected (folding them into base
+    files is what bounds MOR read amplification), and a selection that
+    touches any delta expands to its bucket-overlap closure so the fold
+    sees every row of every key it rewrites."""
     snap = table.current()
     rewrite = tombstone_files(snap)
+    deltas = [f for f in snap.files if f.get("delta")]
+    if deltas:
+        seed: set[int] = set()
+        for f in rewrite + deltas:
+            seed.update(range(f["bucket_min"], f["bucket_max"] + 1))
+        rewrite = table._bucket_closure(snap.files, seed)
     if not rewrite:
         return snap
     keep_paths = {f["path"] for f in rewrite}

@@ -13,6 +13,12 @@ available in this environment, so the primitives are implemented directly):
   rewrites *only* the buckets touched by the source batch (bucket pruning —
   at 10^10 rows a small batch touches a small fraction of buckets, so the
   rewrite cost is proportional to the batch's key spread, not table size).
+- **Merge-on-read MERGE** (``merge(mode="mor")``, Iceberg-v2 analog): the
+  batch commits as manifest-flagged DELTA files — write cost O(batch) even
+  when its keys touch every bucket. Reads resolve base+delta per key with a
+  LWW fold scoped to delta-touched buckets (:func:`_lww_fold` /
+  :meth:`LakeTable._net_raw`); incremental compaction folds deltas back
+  into base files, bounding read amplification by the compact cadence.
 - **Field-id schema evolution**: the manifest stores every historical schema
   version keyed by monotonically increasing field ids; data files record the
   schema version they were written with, and reads align old files to the
@@ -68,6 +74,34 @@ _WIDENINGS: dict[str, set[str]] = {
     "long": {"double"},
     "float": {"double"},
 }
+
+# transient column tagging merge-on-read delta rows during the read-time fold
+_IS_DELTA_COL = "__is_delta"
+
+
+def _lww_fold(df: DataFrame, key_cols: list[str], lsn_col: str) -> DataFrame:
+    """Read-time last-writer-wins fold for merge-on-read: one row per key,
+    the greatest ``(lsn, base-over-delta)`` survivor. On an LSN tie the BASE
+    row wins — the MERGE contract is "src.lsn <= tgt.last_lsn keeps target",
+    and a delta row is an unapplied source. (Two delta rows can only tie at
+    equal LSN as redelivered identical events — either survivor is the same
+    row.)
+
+    One ``max_by`` hash aggregation carrying the whole row. The struct
+    buffer demotes this pass to ObjectHashAggregate — acceptable HERE and
+    only here because the fold's input is the delta-touched slice, never the
+    table: ``_net_raw`` routes clean base files around it, and the
+    incremental-compaction cadence folds deltas into base files so the slice
+    stays O(recent batches). (The WRITE path's reduce keeps its decomposed
+    primitive-buffer plan — see cdc/reduce.py — because it scans every
+    event of every batch; this fold scans only what MOR deferred.)"""
+    data_cols = [c for c in df.columns if c != _IS_DELTA_COL]
+    order = F.struct(
+        F.col(lsn_col).alias("l"),
+        (~F.col(_IS_DELTA_COL)).cast("int").alias("base_wins_ties"),
+    )
+    packed = F.max_by(F.struct(*[F.col(c) for c in data_cols]), order).alias("__row")
+    return df.groupBy(*[F.col(k) for k in key_cols]).agg(packed).select("__row.*")
 
 
 @dataclass(frozen=True)
@@ -512,12 +546,15 @@ class LakeTable:
             out = out.unionByName(p)
         if raw:
             return out
+        return self._visible(out, snap)
 
-        # visible read: materialize evolution-added columns from __extras for
-        # rows written before the add_column was known, then hide implicits
+    def _visible(self, out: DataFrame, snap: Snapshot) -> DataFrame:
+        """Raw (net) rows → the user-visible projection: tombstones filtered,
+        evolution-added columns materialized from __extras for rows written
+        before the add_column was known, implicit columns hidden."""
         out = out.filter(~F.col(TOMBSTONE_COL))
         proj = []
-        for fld in current.fields:
+        for fld in snap.schema.fields:
             if fld.field_id in snap.added_lsn:
                 lookups = [
                     F.element_at(F.col(EXTRAS_COL), n)
@@ -534,15 +571,16 @@ class LakeTable:
 
     def read(self) -> DataFrame:
         snap = self.current()
-        return self._read_files(snap, snap.files)
+        return self._visible(self._net_raw(snap, snap.files), snap)
 
     def read_raw(self) -> DataFrame:
-        """Current state INCLUDING tombstone rows (and the implicit
+        """Current NET state INCLUDING tombstone rows (and the implicit
         ``__tombstone``/``__extras`` columns) — the representation a
         CDC-faithful cross-table merge needs: a delete in one source must
-        out-rank an older update for the same key in another source."""
+        out-rank an older update for the same key in another source.
+        Merge-on-read delta rows are folded to their per-key winners."""
         snap = self.current()
-        return self._read_files(snap, snap.files, raw=True)
+        return self._net_raw(snap, snap.files)
 
     def changes(self, v_from: int, v_to: int | None = None) -> DataFrame:
         """Change data feed: the NET row-level changes between two committed
@@ -568,18 +606,39 @@ class LakeTable:
         old_paths = {f["path"] for f in s_from.files}
         new_files = [f for f in s_to.files if f["path"] not in old_paths]
         ranges = [(f["bucket_min"], f["bucket_max"]) for f in new_files]
-        prev_files = [
-            f
-            for f in s_from.files
-            if any(
-                f["bucket_min"] <= hi and f["bucket_max"] >= lo
-                for lo, hi in ranges
-            )
-        ]
-        # align BOTH sides to s_to's schema (field-id mapping handles files
-        # written under older schema versions)
-        after = self._read_files(s_to, new_files, raw=True).drop(EXTRAS_COL)
-        before = self._read_files(s_to, prev_files, raw=True).drop(EXTRAS_COL)
+        seed = set()
+        for lo, hi in ranges:
+            seed.update(range(lo, hi + 1))
+        mor = any(f.get("delta") for f in s_to.files) or any(
+            f.get("delta") for f in s_from.files
+        )
+        if mor:
+            # merge-on-read: a new delta file's row is a net change only if
+            # it WINS the fold at v_to, so both sides must be the folded NET
+            # state of the touched buckets (closure-complete subsets; cost ∝
+            # touched buckets, same as the COW path below). exceptAll then
+            # cancels the unchanged carried-over rows exactly as before.
+            after = self._net_raw(
+                s_to, self._bucket_closure(s_to.files, seed)
+            ).drop(EXTRAS_COL)
+            # s_from's FILES under s_to's schema mapping (s_to.schemas holds
+            # every historical version) so both diff sides align by field id
+            before = self._net_raw(
+                s_to, self._bucket_closure(s_from.files, seed)
+            ).drop(EXTRAS_COL)
+        else:
+            prev_files = [
+                f
+                for f in s_from.files
+                if any(
+                    f["bucket_min"] <= hi and f["bucket_max"] >= lo
+                    for lo, hi in ranges
+                )
+            ]
+            # align BOTH sides to s_to's schema (field-id mapping handles
+            # files written under older schema versions)
+            after = self._read_files(s_to, new_files, raw=True).drop(EXTRAS_COL)
+            before = self._read_files(s_to, prev_files, raw=True).drop(EXTRAS_COL)
         delta = after.exceptAll(before)
         return delta.withColumn(
             "_change_type",
@@ -599,9 +658,86 @@ class LakeTable:
             if any(f["bucket_min"] <= b <= f["bucket_max"] for b in wanted)
         ]
 
+    @staticmethod
+    def _bucket_closure(files: list[dict], seed_buckets) -> list[dict]:
+        """Transitive bucket-overlap closure: starting from ``seed_buckets``,
+        include every file whose range intersects the growing bucket set and
+        fold its whole range back in, to a fixed point.
+
+        Why: merge-on-read delta files OVERLAP base files by key, so any
+        subset that is read-and-folded (or read-and-rewritten) must contain
+        *every* file holding rows for *every* key in *every* included file —
+        whole-file granularity makes that the overlap closure. Pure manifest
+        math (O(files · num_buckets) driver-side), no data read. With no
+        delta files the COW invariant (a key lives in exactly one file)
+        makes the closure unnecessary; callers use :meth:`_files_overlapping`
+        there."""
+        bset = set(seed_buckets)
+        out: list[dict] = []
+        pending = list(files)
+        changed = True
+        while changed:
+            changed = False
+            rest = []
+            for f in pending:
+                if any(f["bucket_min"] <= b <= f["bucket_max"] for b in bset):
+                    out.append(f)
+                    rng = set(range(f["bucket_min"], f["bucket_max"] + 1))
+                    if not rng <= bset:
+                        bset |= rng
+                        changed = True
+                else:
+                    rest.append(f)
+            pending = rest
+        return out
+
+    def _net_raw(self, snap: Snapshot, files: list[dict]) -> DataFrame:
+        """NET raw state of a file subset: base rows and merge-on-read delta
+        rows resolved to one row per key (tombstones retained, hidden
+        columns kept). ``files`` must be fold-complete for its delta rows —
+        either the whole snapshot, or a :meth:`_bucket_closure` subset.
+
+        Plan shape (the MOR read path): base files whose bucket range never
+        meets a delta file stream through UNTOUCHED (no shuffle); only the
+        delta-touched slice pays the per-key LWW fold — one hash aggregation
+        whose scope is bounded by the compaction cadence that folds deltas
+        back into base files. A snapshot with no delta files short-circuits
+        to the plain COW scan."""
+        deltas = [f for f in files if f.get("delta")]
+        if not deltas:
+            return self._read_files(snap, files, raw=True)
+        dbuckets: set[int] = set()
+        for f in deltas:
+            dbuckets.update(range(f["bucket_min"], f["bucket_max"] + 1))
+        base = [f for f in files if not f.get("delta")]
+        hot = [
+            f for f in base
+            if any(f["bucket_min"] <= b <= f["bucket_max"] for b in dbuckets)
+        ]
+        hot_paths = {f["path"] for f in hot}
+        clean = [f for f in base if f["path"] not in hot_paths]
+        folded = _lww_fold(
+            self._read_files(snap, deltas, raw=True)
+            .withColumn(_IS_DELTA_COL, F.lit(True))
+            .unionByName(
+                self._read_files(snap, hot, raw=True)
+                .withColumn(_IS_DELTA_COL, F.lit(False))
+            ),
+            snap.key_cols,
+            snap.lsn_col,
+        )
+        if not clean:
+            return folded
+        return self._read_files(snap, clean, raw=True).unionByName(folded)
+
     def read_buckets(self, buckets: list[int], raw: bool = False) -> DataFrame:
         snap = self.current()
-        return self._read_files(snap, self._files_overlapping(snap, buckets), raw=raw)
+        if any(f.get("delta") for f in snap.files):
+            files = self._bucket_closure(snap.files, buckets)
+        else:
+            files = self._files_overlapping(snap, buckets)
+        df = self._net_raw(snap, files)
+        return df if raw else self._visible(df, snap)
 
     def lookup(self, keys: list[tuple]) -> DataFrame:
         """Point lookup: the visible rows for an explicit list of key tuples.
@@ -741,6 +877,7 @@ class LakeTable:
         affected_buckets: list[int] | None = None,
         use_observation: bool = True,
         delivery: str = "in_order",
+        mode: str = "cow",
     ) -> Snapshot:
         """Idempotent last-writer-wins MERGE of a pre-reduced batch.
 
@@ -763,7 +900,20 @@ class LakeTable:
         Only buckets present in the source are read and rewritten (COW with
         bucket pruning). Re-merging an already-applied ``batch_id`` is a
         metadata no-op — the exactly-once guard.
+
+        ``mode="mor"`` (merge-on-read): the batch is written as DELTA files
+        and NO base file is read or rewritten — write cost is O(batch) even
+        when the batch's keys touch every bucket (the regime where COW's
+        write amplification is the bottleneck: a scattered 300k-row batch
+        forces COW to rewrite every touched bucket's data). Reads resolve
+        base+delta per key via the LWW fold (:func:`_lww_fold`, scoped to
+        delta-touched buckets by :meth:`_net_raw`); the incremental
+        compaction cadence folds deltas back into base files, bounding read
+        amplification. Same exactly-once guard, same watermark guard, same
+        final state — pytest asserts MOR replay ≡ COW replay byte-for-byte.
         """
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"unknown merge mode {mode!r}")
         snap = self.current()
         if batch_id <= snap.last_batch_id:
             return snap  # already applied — exactly-once replay guard
@@ -816,19 +966,53 @@ class LakeTable:
             ).collect()[0]
             merge_counts = {"rows": row["rows"], "deletes": row["deletes"]}
 
-        # file pruning: only files whose bucket range intersects the batch
-        # are read and rewritten; their rows in *other* buckets pass through
-        # the merge untouched (target-only rows survive by construction)
-        affected_files = self._files_overlapping(snap, affected)
-        affected_paths = {f["path"] for f in affected_files}
-        untouched_files = [f for f in snap.files if f["path"] not in affected_paths]
-        tgt = self._read_files(snap, affected_files, raw=True)
-
         extras_map_t = T.MapType(T.StringType(), T.StringType())
         s_extras = (
             F.col(extras_col) if extras_col and extras_col in source.columns
             else F.lit(None).cast(extras_map_t)
         )
+
+        if mode == "mor":
+            # merge-on-read: the reduced batch BECOMES the write — aligned to
+            # the raw row layout (values nulled + tombstone=true for deletes,
+            # so a delta delete out-ranks stale updates exactly like a base
+            # tombstone). No target read, no join, no base rewrite.
+            is_del_src = F.col(op_col) == F.lit("delete")
+            result = src.select(
+                *[F.col(k) for k in keys],
+                *[
+                    F.when(is_del_src, F.lit(None)).otherwise(F.col(c)).alias(c)
+                    for c in value_cols
+                ],
+                F.col(lsn_col).alias(lsn_target),
+                is_del_src.alias(TOMBSTONE_COL),
+                F.when(is_del_src, F.lit(None).cast(extras_map_t))
+                .otherwise(s_extras)
+                .alias(EXTRAS_COL),
+                F.col("__bucket"),
+            )
+            return self._finish_merge(
+                snap, result, affected, list(snap.files), batch_id, lineage,
+                metrics, code_hash, stats_out, advance_watermark_to, delivery,
+                obs, src, op_col,
+                None if obs is not None else merge_counts, delta=True,
+            )
+
+        # file pruning: only files whose bucket range intersects the batch
+        # are read and rewritten; their rows in *other* buckets pass through
+        # the merge untouched (target-only rows survive by construction).
+        # When merge-on-read delta files exist, the read set must be the
+        # bucket-overlap CLOSURE (fold-complete) and the target is the
+        # folded NET state — the rewrite then restores COW disjointness for
+        # every bucket it touches.
+        if any(f.get("delta") for f in snap.files):
+            affected_files = self._bucket_closure(snap.files, affected)
+        else:
+            affected_files = self._files_overlapping(snap, affected)
+        affected_paths = {f["path"] for f in affected_files}
+        untouched_files = [f for f in snap.files if f["path"] not in affected_paths]
+        tgt = self._net_raw(snap, affected_files)
+
         s = src.select(
             *[F.col(k).alias(f"__s_{k}") for k in keys],
             *[F.col(c).alias(f"__s_{c}") for c in value_cols],
@@ -882,7 +1066,36 @@ class LakeTable:
         )
         result = joined.select(*out_cols)
         result = result.withColumn("__bucket", self._bucket_expr(snap.num_buckets, keys))
+        return self._finish_merge(
+            snap, result, affected, untouched_files, batch_id, lineage,
+            metrics, code_hash, stats_out, advance_watermark_to, delivery,
+            obs, src, op_col,
+            None if obs is not None else merge_counts, delta=False,
+        )
 
+    def _finish_merge(
+        self,
+        snap: Snapshot,
+        result: DataFrame,
+        affected: list[int],
+        untouched_files: list[dict],
+        batch_id: int,
+        lineage: dict | None,
+        metrics: dict | None,
+        code_hash: str | None,
+        stats_out: dict | None,
+        advance_watermark_to: int | None,
+        delivery: str,
+        obs,
+        src: DataFrame,
+        op_col: str,
+        merge_counts: dict | None,
+        delta: bool,
+    ) -> Snapshot:
+        """Shared merge tail: the partitioned write, observation resolution,
+        manifest splice (``delta=True`` flags merge-on-read files) and the
+        snapshot commit. ``result`` must carry ``__bucket``."""
+        keys = snap.key_cols
         new_version = snap.version + 1
         out_dir = self._data_dir(new_version)
         # partition the write by a DETERMINISTIC bucket-group id — unlike
@@ -961,13 +1174,14 @@ class LakeTable:
             for path, st in zip(paths, stats):
                 if st is None:
                     continue  # empty file
-                new_files.append(
-                    {
-                        "path": path,
-                        "schema_version": snap.schema_version,
-                        **st,
-                    }
-                )
+                entry = {
+                    "path": path,
+                    "schema_version": snap.schema_version,
+                    **st,
+                }
+                if delta:
+                    entry["delta"] = True
+                new_files.append(entry)
 
         new_snap = Snapshot(
             version=new_version,
@@ -978,7 +1192,7 @@ class LakeTable:
             schemas=snap.schemas,
             num_buckets=snap.num_buckets,
             key_cols=keys,
-            lsn_col=lsn_target,
+            lsn_col=snap.lsn_col,
             files=new_files,
             lineage=lineage,
             metrics=metrics,

@@ -125,35 +125,42 @@ ORDER BY repo, path
 """
 
 
-def _replayed_engine(spark: SparkSession, sf_dir: str) -> CdcEngine:
+def _replayed_engine(
+    spark: SparkSession, sf_dir: str, write_mode: str = "cow"
+) -> CdcEngine:
     """Replay the sf_dir-derived log into a lake under a *stable* per-
-    (sf_dir, code_hash) location and return the engine. The lake persists, so
-    callers return fully lazy DataFrames over its parquet files — no driver
-    materialization anywhere on the O(rows) path, and repeated queries over
-    the same input reuse the committed lake (exactly-once replay guard makes
-    a re-run over an existing complete lake a metadata no-op anyway)."""
+    (sf_dir, code_hash, write_mode) location and return the engine. The lake
+    persists, so callers return fully lazy DataFrames over its parquet files
+    — no driver materialization anywhere on the O(rows) path, and repeated
+    queries over the same input reuse the committed lake (exactly-once
+    replay guard makes a re-run over an existing complete lake a metadata
+    no-op anyway)."""
     code = compute_code_hash()
     digest = hashlib.sha256(
-        f"{os.path.abspath(sf_dir)}|{code}|16|8".encode()
+        f"{os.path.abspath(sf_dir)}|{code}|16|8|{write_mode}".encode()
     ).hexdigest()[:16]
     root = os.path.join(tempfile.gettempdir(), "spark_graft_replay", digest)
     marker = os.path.join(root, "_COMPLETE")
+    kw = dict(
+        num_buckets=16,
+        # content is ASCII-deterministic here; JVM normalization keeps
+        # the whole merge plan in codegen (Arrow path covered by tests)
+        use_arrow_normalize=False,
+        write_mode=write_mode,
+        # MOR: keep the deltas PENDING (no fold-back compaction) so the
+        # query reads through the LWW fold path — that is the behavior
+        # under test; cow keeps the default cadence
+        auto_compact_every=None if write_mode == "mor" else 16,
+    )
     if not os.path.exists(marker):
         shutil.rmtree(root, ignore_errors=True)
         os.makedirs(root, exist_ok=True)
-        eng = CdcEngine(
-            spark,
-            root,
-            num_buckets=16,
-            # content is ASCII-deterministic here; JVM normalization keeps
-            # the whole merge plan in codegen (Arrow path covered by tests)
-            use_arrow_normalize=False,
-        )
+        eng = CdcEngine(spark, root, **kw)
         eng.apply_log(events_as_cdc_log(spark, sf_dir), n_batches=8)
         with open(marker, "w") as fh:
             fh.write(code)
         return eng
-    return CdcEngine(spark, root, num_buckets=16, use_arrow_normalize=False)
+    return CdcEngine(spark, root, **kw)
 
 
 def cdc_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -185,6 +192,21 @@ FROM (
 WHERE rn = 1 AND op <> 'delete'
 ORDER BY repo, path
 """
+
+
+def cdc_replay_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full engine replay in MERGE-ON-READ mode: every micro-batch commits
+    as delta files (no base rewrite — O(batch) write cost regardless of key
+    spread), and THIS read resolves base+delta per key via the LWW fold
+    (lake/table.py::_lww_fold) because the fold-back compaction is disabled
+    for the replay. Gated by the SAME oracle as the COW flagship — the two
+    write modes must be observationally identical."""
+    eng = _replayed_engine(spark, sf_dir, write_mode="mor")
+    return (
+        eng.final_state()
+        .select("repo", "path", "commit", "lang", "content", "content_sha256", "last_lsn")
+        .orderBy("repo", "path")
+    )
 
 
 def cdc_manifest_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -347,6 +369,7 @@ QUERIES = {
     "cdc_log_projection": (cdc_log_projection, CDC_LOG_PROJECTION_SQL),
     "cdc_lww_reduce_only": (cdc_lww_reduce_only, CDC_LWW_REDUCE_SQL),
     "cdc_replay_final_state": (cdc_replay_final_state, CDC_REPLAY_SQL),
+    "cdc_replay_mor": (cdc_replay_mor, CDC_REPLAY_SQL),
     "cdc_manifest_metrics": (cdc_manifest_metrics, None),  # rows-only check
     "graph_metadata_stats": (graph_metadata_stats, GRAPH_METADATA_SQL),
     "validation_report_counts": (validation_report_counts, VALIDATION_REPORT_SQL),
