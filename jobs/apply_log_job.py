@@ -28,6 +28,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--table-root", required=True)
     p.add_argument("--batches", type=int, default=8)
     p.add_argument("--buckets", type=int, default=64)
+    p.add_argument("--write-mode", choices=["cow", "mor"], default="cow",
+                   help="cow rewrites touched bucket files per batch; mor "
+                        "commits delta files (O(batch) writes, read-time "
+                        "LWW fold, folded back on the compaction cadence)")
     p.add_argument("--stream", action="store_true")
     p.add_argument("--checkpoint", default=None,
                    help="streaming checkpoint dir (required with --stream)")
@@ -39,7 +43,8 @@ def main(argv: list[str] | None = None) -> int:
     from translator_ingests_spark.cdc.apply import EVENT_SCHEMA, CdcEngine
     from translator_ingests_spark.cdc.generator import generate_event_log
 
-    engine = CdcEngine(spark, args.table_root, num_buckets=args.buckets)
+    engine = CdcEngine(spark, args.table_root, num_buckets=args.buckets,
+                       write_mode=args.write_mode)
 
     if args.stream:
         from translator_ingests_spark.streaming import CdcStream

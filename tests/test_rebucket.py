@@ -1,0 +1,107 @@
+"""Bucket-count (partition-spec) evolution and snapshot time travel.
+
+At 10^10 rows the bucket count fixed at CREATE is the scaling ceiling —
+``rebucket`` rewrites the table under a new count and every downstream path
+(merge pruning, apply-loop masks, point lookup) must switch over atomically
+at the commit; ``read_at`` serves any retained historical snapshot.
+"""
+
+from pyspark.sql import functions as F
+
+from translator_ingests_spark.cdc import CdcEngine, EVENT_SCHEMA
+from translator_ingests_spark.lake.maintenance import rebucket, suggest_num_buckets
+from translator_ingests_spark.lake.table import TOMBSTONE_COL
+
+
+def ev(lsn, op, repo=None, path=None, commit=None, lang=None, content=None,
+       source_partition=0):
+    return {
+        "lsn": lsn, "op": op, "repo": repo, "path": path, "commit": commit,
+        "lang": lang, "content": content, "schema_change": None,
+        "source_partition": source_partition, "source_offset": lsn,
+        "extras": None,
+    }
+
+
+def seed(spark, tmp_path, n=24, **kw):
+    eng = CdcEngine(spark, str(tmp_path / "t"), num_buckets=4,
+                    auto_compact_every=None, **kw)
+    events = [ev(i, "insert", "r", f"p{i}", f"c{i}", "py", f"v{i}") for i in range(n)]
+    eng.apply_log(spark.createDataFrame(events, EVENT_SCHEMA), events_per_batch=100)
+    return eng
+
+
+def state(eng):
+    return sorted(
+        (r["repo"], r["path"], r["content"], r["last_lsn"])
+        for r in eng.final_state().collect()
+    )
+
+
+def test_rebucket_preserves_state_and_switches_count(spark, tmp_path):
+    eng = seed(spark, tmp_path)
+    before = state(eng)
+    snap = rebucket(eng.table, 16)
+    assert snap.operation == "rebucket" and snap.num_buckets == 16
+    assert state(eng) == before
+    # every data file's bucket range is now under the new modulus
+    assert all(f["bucket_max"] < 16 for f in snap.files)
+    # the exactly-once guard carries over
+    assert snap.last_batch_id == eng.table.current().last_batch_id
+
+
+def test_merge_and_lookup_after_rebucket(spark, tmp_path):
+    eng = seed(spark, tmp_path)
+    rebucket(eng.table, 16)
+    nxt = [ev(100, "update", "r", "p3", "cx", "py", "fresh"),
+           ev(101, "delete", "r", "p5")]
+    eng.apply_log(spark.createDataFrame(nxt, EVENT_SCHEMA), events_per_batch=100)
+    st = dict(((r, p), (c, l)) for r, p, c, l in state(eng))
+    assert st[("r", "p3")] == ("fresh", 100)
+    assert ("r", "p5") not in st
+    rows = eng.table.lookup([("r", "p3")]).collect()
+    assert len(rows) == 1 and rows[0]["content"] == "fresh"
+
+
+def test_rebucket_folds_mor_deltas(spark, tmp_path):
+    eng = seed(spark, tmp_path, write_mode="mor")
+    assert any(f.get("delta") for f in eng.table.current().files)
+    before = state(eng)
+    snap = rebucket(eng.table, 8)
+    assert not any(f.get("delta") for f in snap.files)
+    assert state(eng) == before
+
+
+def test_rebucket_respects_tombstone_watermark(spark, tmp_path):
+    eng = seed(spark, tmp_path, n=6)
+    # scatter delivery: watermark does NOT advance, so the delete tombstone
+    # must SURVIVE the rebucket (still-contested LSN territory)
+    nxt = [ev(50, "delete", "r", "p1"), ev(51, "update", "r", "p2", "cz", "py", "z")]
+    eng.apply_log(spark.createDataFrame(nxt, EVENT_SCHEMA),
+                  n_batches=1, scatter_delivery=True)
+    rebucket(eng.table, 8)
+    tombs = eng.table.read_raw().filter(F.col(TOMBSTONE_COL)).collect()
+    assert [(r["repo"], r["path"]) for r in tombs] == [("r", "p1")]
+
+
+def test_suggest_num_buckets_from_manifest_rows(spark, tmp_path):
+    eng = seed(spark, tmp_path, n=24)
+    snap = eng.table.current()
+    # 24 rows over 4 buckets: a 2-row target wants 16 buckets (power of two)
+    assert suggest_num_buckets(snap, target_rows_per_bucket=2) == 16
+    # already satisfied → no suggestion
+    assert suggest_num_buckets(snap, target_rows_per_bucket=1_000) is None
+
+
+def test_time_travel_read_at(spark, tmp_path):
+    eng = seed(spark, tmp_path, n=4)
+    v1 = eng.table.current().version
+    nxt = [ev(100, "update", "r", "p0", "cy", "py", "new"),
+           ev(101, "delete", "r", "p1")]
+    eng.apply_log(spark.createDataFrame(nxt, EVENT_SCHEMA), events_per_batch=100)
+    old = {(r["repo"], r["path"]): r["content"]
+           for r in eng.table.read_at(v1).collect()}
+    now = {(r["repo"], r["path"]): r["content"]
+           for r in eng.table.read().collect()}
+    assert old[("r", "p0")] == "v0" and ("r", "p1") in old
+    assert now[("r", "p0")] == "new" and ("r", "p1") not in now

@@ -393,6 +393,9 @@ class CdcEngine:
                         # (schema-split sub-batches pass the whole batch's
                         # set — a superset is safe for merge pruning)
                         pre_buckets=self._buckets_from_mask(lineage_by_batch[b]),
+                        # masks were derived under THIS bucket count — a
+                        # rebucket between snapshots invalidates them
+                        pre_buckets_nb=snap0.num_buckets,
                     )
                     if m is not None:
                         manifests.append(m)
@@ -451,8 +454,18 @@ class CdcEngine:
         lag_events: int | None,
         pre_lineage: list | None = None,
         pre_buckets: list[int] | None = None,
+        pre_buckets_nb: int | None = None,
     ) -> dict | None:
         snap = self.table.current()
+        if (
+            pre_buckets is not None
+            and pre_buckets_nb is not None
+            and pre_buckets_nb != snap.num_buckets
+        ):
+            # the table was rebucketed after the masks were computed — a
+            # stale bucket set under a different modulus is NOT a superset;
+            # fall back to the per-unit probe
+            pre_buckets = None
         if snap.last_batch_id >= unit_id:
             # already committed by a previous (crashed) run — exactly-once skip.
             # A crash BETWEEN the lake commit and _write_ckpt would otherwise

@@ -61,6 +61,8 @@ def _rewrite_files(
     target_files: int,
     drop_tombstones: bool,
     force: bool,
+    new_num_buckets: int | None = None,
+    operation: str = "compact",
 ) -> Snapshot:
     """Shared compaction engine: read ONLY ``rewrite`` files, optionally fold
     tombstones (watermark-gated), write ~target_files range-partitioned
@@ -85,9 +87,8 @@ def _rewrite_files(
             df = df.filter(
                 ~is_tomb | (F.col(snap.lsn_col) > F.lit(snap.low_watermark))
             )
-    df = df.withColumn(
-        "__bucket", table._bucket_expr(snap.num_buckets, snap.key_cols)
-    )
+    nb = new_num_buckets if new_num_buckets is not None else snap.num_buckets
+    df = df.withColumn("__bucket", table._bucket_expr(nb, snap.key_cols))
     new_version = snap.version + 1
     out_dir = table._data_dir(new_version)
     (
@@ -118,14 +119,14 @@ def _rewrite_files(
         last_batch_id=snap.last_batch_id,
         schema_version=snap.schema_version,
         schemas=snap.schemas,
-        num_buckets=snap.num_buckets,
+        num_buckets=nb,
         key_cols=snap.key_cols,
         lsn_col=snap.lsn_col,
         files=new_files,
         code_hash=snap.code_hash,
         added_lsn=snap.added_lsn,
         low_watermark=snap.low_watermark,
-        operation="compact",
+        operation=operation,
         # record how far tombstones may have been folded out: consumers of
         # the raw state (merge_lakes) rebuild if this passes their watermark
         tombstones_dropped_below=(
@@ -160,6 +161,64 @@ def compact(table: LakeTable, target_files: int | None = None,
         table, snap, rewrite=list(snap.files), keep=[],
         target_files=n, drop_tombstones=drop_tombstones, force=force,
     )
+
+
+def rebucket(
+    table: LakeTable,
+    new_num_buckets: int,
+    target_files: int | None = None,
+    drop_tombstones: bool = True,
+) -> Snapshot:
+    """Bucket-count (partition-spec) evolution: rewrite the table under a
+    new ``num_buckets`` — the Iceberg partition-spec-evolution analog.
+
+    Why it exists at 10^10 rows: the bucket count fixed at CREATE becomes
+    the scaling ceiling — per-bucket data grows ∝ table size, and with it
+    every COW merge's rewrite unit, point-lookup scan, and compaction slice.
+    Growing the table 100× wants ~100× the buckets. The rewrite is one
+    cluster-parallel job (read → re-hash → range-partitioned write), run
+    RARELY (bucket counts move in 4× steps); afterwards every path derives
+    bucketing from the snapshot (``snap.num_buckets``), so merges, masks,
+    pruning and lookups switch over atomically at the commit.
+
+    Pending merge-on-read deltas are folded in (the rewrite reads the NET
+    state), watermark-passed tombstones are dropped by default, and the
+    exactly-once batch guard is untouched (``last_batch_id`` carries over).
+    Do not run concurrently with a live apply loop: the loop's precomputed
+    bucket masks assume the bucket count they were derived under (the apply
+    loop itself re-validates per unit; an external racer loses the commit
+    fence)."""
+    snap = table.current()
+    if new_num_buckets == snap.num_buckets:
+        return snap
+    if new_num_buckets < 1:
+        raise ValueError(f"num_buckets must be >= 1, got {new_num_buckets}")
+    n = target_files or max(1, new_num_buckets // 4)
+    return _rewrite_files(
+        table, snap, rewrite=list(snap.files), keep=[],
+        target_files=n, drop_tombstones=drop_tombstones, force=False,
+        new_num_buckets=new_num_buckets, operation="rebucket",
+    )
+
+
+def suggest_num_buckets(
+    snap: Snapshot, target_rows_per_bucket: int = 2_000_000
+) -> int | None:
+    """Manifest-only rebucket advisor: the power-of-two bucket count that
+    keeps expected per-bucket rows at or below the target, from the
+    manifests' per-file footer row counts (no data read). Returns None when
+    the current count already satisfies the target or row stats are absent
+    (manifests written before the stat existed)."""
+    rows = [f.get("rows") for f in snap.files]
+    if not rows or any(r is None for r in rows):
+        return None
+    total = sum(rows)
+    if total <= target_rows_per_bucket * snap.num_buckets:
+        return None
+    nb = 1
+    while total > target_rows_per_bucket * nb:
+        nb *= 2
+    return nb
 
 
 def tombstone_files(snap: Snapshot) -> list[dict]:

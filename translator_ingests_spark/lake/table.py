@@ -305,7 +305,14 @@ def _file_stats_from_footer(path: str) -> dict | None:
                     has_tomb = True
     if lo is None:
         return None
-    return {"bucket_min": lo, "bucket_max": hi, "has_tombstones": has_tomb}
+    return {
+        "bucket_min": lo,
+        "bucket_max": hi,
+        "has_tombstones": has_tomb,
+        # footer row count — lets maintenance policies (rebucket advisor)
+        # estimate per-bucket occupancy from manifest metadata alone
+        "rows": md.num_rows,
+    }
 
 
 # n_parts -> salts such that pmod(F.hash(salt_g), n_parts) == g: lets a
@@ -571,6 +578,14 @@ class LakeTable:
 
     def read(self) -> DataFrame:
         snap = self.current()
+        return self._visible(self._net_raw(snap, snap.files), snap)
+
+    def read_at(self, version: int) -> DataFrame:
+        """Time travel: the visible state AS OF a committed snapshot version
+        (schema as of that version, deltas folded, tombstones hidden).
+        Snapshots are immutable, so this is exactly the historical read —
+        valid until ``expire_snapshots`` garbage-collects the version."""
+        snap = self.snapshot_at(version)
         return self._visible(self._net_raw(snap, snap.files), snap)
 
     def read_raw(self) -> DataFrame:
