@@ -83,3 +83,29 @@ def test_stream_restart_is_exactly_once(spark, tmp_path):
     state2 = {(r["repo"], r["path"]): r.asDict() for r in eng.final_state().collect()}
     changed = {k for k in state2 if k not in state1 or state2[k] != state1[k]}
     assert all(state2[k]["last_lsn"] >= 10_000 for k in changed) and changed
+
+
+def test_stream_mor_epochs_match_oracle(spark, tmp_path):
+    # the foreachBatch path inherits the engine's write_mode: streaming
+    # epochs commit as MOR delta files and the folded read serves the state
+    events_df = generate_event_log(spark, 900, seed=29, n_repos=10, paths_per_repo=5)
+    rows = [r.asDict(recursive=True) for r in events_df.collect()]
+    src = str(tmp_path / "mor_src")
+    for i in range(3):
+        chunk = rows[i * 300:(i + 1) * 300]
+        spark.createDataFrame(chunk, EVENT_SCHEMA).coalesce(1).write.parquet(
+            f"{src}/chunk-{i:03d}"
+        )
+    eng = CdcEngine(spark, str(tmp_path / "mor_cdc"), num_buckets=4,
+                    write_mode="mor", auto_compact_every=None)
+    CdcStream(
+        eng, source_dir=f"{src}/chunk-*",
+        checkpoint_dir=str(tmp_path / "mor_ckpt"),
+        max_files_per_trigger=1,
+    ).run_available_now(timeout_sec=300)
+    assert any(f.get("delta") for f in eng.table.current().files)
+    got = {(r["repo"], r["path"]): r.asDict() for r in eng.final_state().collect()}
+    want = replay_oracle(rows)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k]["content_sha256"] == want[k]["content_sha256"], k

@@ -140,8 +140,10 @@ log = spark.read.parquet(log_dir)
 n = log.count()
 
 # warm-up (JVM/codegen) on a small slice into a throwaway table
+wm = os.environ.get("SPARK_GRAFT_WRITE_MODE", "cow")
 root_w = tempfile.mkdtemp(prefix="warm_")
-eng_w = CdcEngine(spark, root_w, num_buckets=32, use_arrow_normalize=False)
+eng_w = CdcEngine(spark, root_w, num_buckets=32, use_arrow_normalize=False,
+                  write_mode=wm)
 # warm ALL executors: limit(2000) is 1-2 tasks and leaves most executor
 # JVMs JIT-cold in multi-JVM mode (their first measured tasks then run
 # interpreted); spread enough warm-up tasks that every executor compiles
@@ -153,7 +155,8 @@ eng_w.apply_log(
 shutil.rmtree(root_w, ignore_errors=True)
 
 root = tempfile.mkdtemp(prefix="scale_")
-eng = CdcEngine(spark, root, num_buckets=64, use_arrow_normalize=False)
+eng = CdcEngine(spark, root, num_buckets=64, use_arrow_normalize=False,
+                write_mode=wm)
 c0 = jvm_cpu(); t0 = time.monotonic()
 # cache_log=False: the log is already parquet on shared storage — rescans
 # hit the OS page cache; a Spark cache would pin blocks per executor
@@ -239,11 +242,15 @@ def main():
         else f"{source} derived log, {tn['n_events']} events"
     )
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
-        fh.write(f"""# BENCH/BASELINE — scaling evidence (N vs 4N executors)
+    # merge-on-read probes (SPARK_GRAFT_WRITE_MODE=mor) write a SIBLING doc
+    # so the driver-mandated COW baseline is never clobbered
+    wm = os.environ.get("SPARK_GRAFT_WRITE_MODE", "cow")
+    out_name = "BASELINE.md" if wm == "cow" else f"BASELINE_{wm.upper()}.md"
+    with open(os.path.join(REPO, "BENCH", out_name), "w") as fh:
+        fh.write(f"""# BENCH/{out_name[:-3]} — scaling evidence (N vs 4N executors), write mode `{wm}`
 
 Same job (full CDC apply loop: validate → broadcast-winners LWW reduce → vectorized
-content plane → tombstoned file-pruned MERGE → checkpoint manifests), same
+content plane → {"delta-file MOR commit" if wm == "mor" else "tombstoned file-pruned MERGE"} → checkpoint manifests), same
 input ({src_desc}), {n_batches} micro-batches, two cluster sizes in fresh
 processes — per the driver instruction, the sandbox stand-in for N vs 4N
 executors. Mode `{mode}`: {labels['N']} vs {labels['4N']}.
