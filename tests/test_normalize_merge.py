@@ -128,3 +128,22 @@ def test_release_version_is_order_insensitive_md5(spark):
     v2 = release_version(["a:2", "b:1"])
     assert v1 == v2 and len(v1) == 32
     assert v1 != release_version(["a:3", "b:1"])
+
+
+def test_merge_lakes_with_mor_source(spark, tmp_path):
+    # a source with PENDING merge-on-read deltas: read_raw folds them, so
+    # the cross-lake merge sees the net state (B's delta delete of k1 must
+    # out-rank A's older update; B's delta update of k2 must win)
+    a = _mk_source(spark, str(tmp_path / "a"),
+                   [("r", "k1", "a1", "insert", 1), ("r", "k2", "a2", "insert", 2)])
+    b = _mk_source(spark, str(tmp_path / "b"),
+                   [("r", "k1", "b0", "insert", 3), ("r", "k2", "b1", "insert", 4)])
+    df = spark.createDataFrame(
+        [("r", "k1", None, "delete", 5), ("r", "k2", "b2", "update", 6)],
+        "repo string, path string, content string, op string, lsn long",
+    )
+    b.merge(df, batch_id=1, code_hash="cafe0001", mode="mor")
+    assert any(f.get("delta") for f in b.current().files)
+    merged, info = merge_lakes(spark, [a, b], str(tmp_path / "m"))
+    state = {(r["repo"], r["path"]): r["content"] for r in merged.read().collect()}
+    assert state == {("r", "k2"): "b2"}

@@ -208,7 +208,9 @@ def suggest_num_buckets(
     keeps expected per-bucket rows at or below the target, from the
     manifests' per-file footer row counts (no data read). Returns None when
     the current count already satisfies the target or row stats are absent
-    (manifests written before the stat existed)."""
+    (manifests written before the stat existed). Pending merge-on-read
+    delta rows count once per version of a key — an over-estimate, which
+    only ever suggests rebucketing EARLIER (safe for an advisor)."""
     rows = [f.get("rows") for f in snap.files]
     if not rows or any(r is None for r in rows):
         return None
