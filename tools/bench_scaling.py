@@ -273,7 +273,7 @@ levels interleaved.
   idle time (scheduling gaps + per-batch fixed cost), which amortizes with
   batch size.
 """)
-    print("wrote BENCH/BASELINE.md")
+    print(f"wrote BENCH/{out_name}")
 
 
 if __name__ == "__main__":

@@ -63,6 +63,7 @@ def _rewrite_files(
     force: bool,
     new_num_buckets: int | None = None,
     operation: str = "compact",
+    transform=None,
 ) -> Snapshot:
     """Shared compaction engine: read ONLY ``rewrite`` files, optionally fold
     tombstones (watermark-gated), write ~target_files range-partitioned
@@ -77,6 +78,10 @@ def _rewrite_files(
     invariant for every bucket touched — THIS is what bounds MOR read
     amplification on the auto-compact cadence."""
     df = table._net_raw(snap, rewrite)
+    if transform is not None:
+        # row-level DML (delete_where / update_where): applied to the NET
+        # raw state of the rewrite subset before the layout write
+        df = transform(df)
     if drop_tombstones:
         from translator_ingests_spark.lake.table import TOMBSTONE_COL
 
