@@ -61,15 +61,21 @@ def main():
     # warm the JVM/codegen once with a trivial action
     spark.range(1000).count()
 
-    for name in HEADLINE:
-        fn = qs.get(name)
-        if fn is None:
-            continue
-        t0 = time.monotonic()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.monotonic() - t0, 3)
-        _ = n
+    # best-of-2 per query, whole suite interleaved — this host's external
+    # load drifts in multi-minute waves, so a single pass tars every query
+    # hit by a wave (measured ~1.5x uniform inflation); a second pass with
+    # per-query min recovers the uncontended number at ~30s extra cost
+    for _pass in range(2):
+        for name in HEADLINE:
+            fn = qs.get(name)
+            if fn is None:
+                continue
+            t0 = time.monotonic()
+            df = fn(spark, sf_dir)
+            df.count()
+            e = round(time.monotonic() - t0, 3)
+            if name not in timings or e < timings[name]:
+                timings[name] = e
 
     # ---- throughput points: materialize inputs once, interleave best-of-N
     from pyspark.sql import functions as F

@@ -28,10 +28,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--table-root", required=True)
     p.add_argument("--batches", type=int, default=8)
     p.add_argument("--buckets", type=int, default=64)
-    p.add_argument("--write-mode", choices=["cow", "mor"], default="cow",
+    p.add_argument("--write-mode", choices=["cow", "mor", "auto"], default="cow",
                    help="cow rewrites touched bucket files per batch; mor "
                         "commits delta files (O(batch) writes, read-time "
-                        "LWW fold, folded back on the compaction cadence)")
+                        "LWW fold, folded back on the compaction cadence); "
+                        "auto decides per batch from manifest row stats")
     p.add_argument("--stream", action="store_true")
     p.add_argument("--checkpoint", default=None,
                    help="streaming checkpoint dir (required with --stream)")

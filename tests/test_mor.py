@@ -259,3 +259,21 @@ def test_read_with_deltas_folds_only_touched_buckets(spark, tmp_path):
     assert "max_by" in plan  # the fold runs...
     st = state(eng)
     assert st[("r", "p7")]["content"] == "fresh"
+
+
+def test_auto_mode_picks_cow_for_bulk_then_mor_for_small_updates(spark, tmp_path):
+    # bulk initial load: batch >> base (empty table) → COW; later small
+    # clustered update: batch << rewritten base rows → MOR delta commit.
+    # Decision is manifest math only — asserted via the per-unit metric.
+    eng = CdcEngine(spark, str(tmp_path / "auto"), num_buckets=4,
+                    write_mode="auto", auto_compact_every=None)
+    bulk = [ev(i, "insert", "r", f"p{i}", f"c{i}", "py", f"v{i}") for i in range(40)]
+    m1 = eng.apply_log(spark.createDataFrame(bulk, EVENT_SCHEMA), events_per_batch=100)
+    assert m1[0]["metrics"]["write_mode"] == "cow"
+    assert not delta_files(eng)
+    small = [ev(100, "update", "r", "p1", "cx", "py", "fresh")]
+    m2 = eng.apply_log(spark.createDataFrame(small, EVENT_SCHEMA), events_per_batch=100)
+    assert m2[0]["metrics"]["write_mode"] == "mor"
+    assert delta_files(eng)
+    st = state(eng)
+    assert st[("r", "p1")]["content"] == "fresh" and len(st) == 40

@@ -128,8 +128,10 @@ class CdcEngine:
         # fold and folded into base files on the auto-compact cadence. Same
         # final state either way (pytest-asserted); pick "mor" when batches
         # are small relative to the buckets they touch (scattered updates on
-        # a huge table — the COW write-amplification regime).
-        if write_mode not in ("cow", "mor"):
+        # a huge table — the COW write-amplification regime). "auto" decides
+        # PER BATCH from manifest metadata alone (see _resolve_write_mode):
+        # batch rows vs the base rows its buckets would rewrite.
+        if write_mode not in ("cow", "mor", "auto"):
             raise ValueError(f"unknown write_mode {write_mode!r}")
         self.write_mode = write_mode
         self.code_hash = compute_code_hash()
@@ -586,9 +588,11 @@ class CdcEngine:
                 )
 
             source = self._derive_columns(reduced, snap)
+            unit_mode = self._resolve_write_mode(snap, affected_buckets, n_valid)
             metrics = {
                 "events_in": int(events_in),
                 "invalid_events": int(events_in - n_valid),
+                "write_mode": unit_mode,
                 # retained in the manifest schema for compatibility; always 0
                 # since lww_reduce's primitive-buffer phase-1 made explicit
                 # salting unnecessary (map-side combine collapses hot keys)
@@ -614,7 +618,7 @@ class CdcEngine:
                 # streaming epochs take the explicit-count path
                 use_observation=self._delivery != "stream",
                 delivery=self._delivery,
-                mode=self.write_mode,
+                mode=unit_mode,
             )
             if winners is not None:
                 winners.unpersist()
@@ -647,6 +651,30 @@ class CdcEngine:
             return manifest
         finally:
             pass
+
+    # below this batch-rows / rewritten-base-rows ratio, COW write
+    # amplification dominates and merge-on-read wins
+    _MOR_RATIO = 0.25
+
+    def _resolve_write_mode(self, snap, affected_buckets, n_valid: int) -> str:
+        """Per-batch COW-vs-MOR decision for ``write_mode="auto"`` — pure
+        manifest math, zero Spark jobs: COW would read-and-rewrite every
+        file overlapping the batch's buckets; when the batch is small
+        against those files' footer row counts (< _MOR_RATIO), defer the
+        merge as delta files instead. Missing row stats (manifests written
+        before the stat existed) or an unknowable bucket set fall back to
+        COW — the conservative, read-optimized default. The auto-compact
+        cadence bounds the accumulated delta backlog either way."""
+        if self.write_mode != "auto":
+            return self.write_mode
+        if affected_buckets is None:
+            return "cow"
+        overlapping = self.table._files_overlapping(snap, affected_buckets)
+        rows = [f.get("rows") for f in overlapping]
+        if any(r is None for r in rows):
+            return "cow"
+        base_rows = sum(rows)
+        return "mor" if n_valid < self._MOR_RATIO * base_rows else "cow"
 
     def _derive_columns(self, reduced: DataFrame, snap) -> DataFrame:
         """Align the reduced batch to the current lake schema: normalized
