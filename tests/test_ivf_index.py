@@ -61,3 +61,34 @@ def test_indexed_layout_matches_and_prunes(spark, tmp_path):
     assert "PartitionFilters" in plan
     pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert any("cell" in l and "IN" in l for l in pf_lines), pf_lines
+
+
+def _indexed_recall(spark, root, nprobe=2, top_k=5):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < sim._N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    truth = {
+        (r["q_id"], r["c_id"]) for r in sim.ann_cosine_topk(spark, SF).collect()
+    }
+    approx = {
+        (r["q_id"], r["c_id"])
+        for r in sim.ann_ivf_flat_indexed(
+            spark, root, queries, nprobe=nprobe, top_k=top_k
+        ).collect()
+    }
+    return len(truth & approx) / max(1, len(truth))
+
+
+def test_kmeans_refinement_improves_recall(spark, tmp_path):
+    """Deterministic spherical-Lloyd refinement (no randomness: evenly
+    spaced init, fixed iteration count) must not hurt recall at the same
+    probe budget — and on this fixture it measurably helps (the round-3
+    review measured 0.34 → 0.46 at nprobe=2; exact values are byte-stable
+    because every step is deterministic)."""
+    sim.build_ivf_index(spark, SF, str(tmp_path / "flat"))
+    sim.build_ivf_index(spark, SF, str(tmp_path / "ref"), refine_iters=3)
+    base = _indexed_recall(spark, str(tmp_path / "flat"))
+    refined = _indexed_recall(spark, str(tmp_path / "ref"))
+    assert refined >= base, (base, refined)
+    assert refined >= 0.4, refined

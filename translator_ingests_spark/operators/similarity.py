@@ -581,14 +581,65 @@ def _ann_ivf_arrow(emb, cent_rows, nprobe: int = _IVF_NPROBE):
     )
 
 
-def build_ivf_index(spark: SparkSession, sf_dir: str, index_root: str) -> dict:
+def _refine_centroids_kmeans(emb: DataFrame, cent_rows, iters: int):
+    """Spherical k-means (Lloyd) refinement of the coarse quantizer,
+    DataFrame-native: each iteration assigns every corpus vector to its
+    max-cosine centroid (one Arrow matmul pass — no shuffle of the corpus),
+    then recomputes each cell's mean via ``posexplode`` → per-(cell, dim)
+    JVM avg — the only shuffle is K×dims aggregate rows, and only K×dims
+    values reach the driver per iteration. Deterministic: initialized from
+    the evenly-spaced sample, no randomness anywhere, so the refined index
+    (and its measured recall) is byte-stable across builds. Empty cells
+    keep their previous centroid; cell ids are stable across iterations."""
+    dims = len(cent_rows[0]["embedding"])
+    for _ in range(max(0, iters)):
+        assigned = _assign_cells_arrow(
+            emb.select("vec_id", "embedding"), "embedding", cent_rows, "cell"
+        )
+        means = (
+            assigned.select("cell", F.posexplode("embedding").alias("i", "x"))
+            .groupBy("cell", "i")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .collect()  # bounded-collect: K cells × dims rows
+        )
+        by_cell: dict[int, list[float]] = {}
+        for r in means:
+            by_cell.setdefault(r["cell"], [0.0] * dims)[r["i"]] = r["m"]
+        new_rows = []
+        for r in cent_rows:
+            vec = by_cell.get(r["vec_id"])
+            if vec is None or not any(vec):
+                new_rows.append(r)  # empty cell: keep previous centroid
+            else:
+                new_rows.append({"vec_id": r["vec_id"], "embedding": vec})
+        cent_rows = new_rows
+    import math
+
+    out = []
+    for r in cent_rows:
+        norm = math.sqrt(sum(float(x) * float(x) for x in r["embedding"])) or 1.0
+        out.append(
+            {"vec_id": r["vec_id"], "embedding": r["embedding"], "cnorm": norm}
+        )
+    return out
+
+
+def build_ivf_index(
+    spark: SparkSession, sf_dir: str, index_root: str, refine_iters: int = 0
+) -> dict:
     """Materialize the IVF index as a PHYSICAL LAYOUT: the corpus written
     hive-partitioned by cell id (``cell=<cid>/``), centroids saved beside it.
     At 100 TB this is the serving shape the round-3 docstring promised —
     a probe reads ``nprobe/K`` of the data via partition pruning instead of
     scanning the corpus. Build cost is one assignment pass + one
     partitioned write (cluster-parallel); the index is immutable and
-    rebuilt per corpus release."""
+    rebuilt per corpus release.
+
+    ``refine_iters`` > 0 sharpens the deterministic sampled quantizer with
+    that many spherical k-means passes (:func:`_refine_centroids_kmeans`)
+    before the layout write — on the near-uniform test fixture this lifts
+    recall@5 at nprobe=2 by ~0.1 (tests/test_ivf_index.py measures it);
+    clustered production embeddings gain more."""
     import json
     import os
 
@@ -603,6 +654,8 @@ def build_ivf_index(spark: SparkSession, sf_dir: str, index_root: str) -> dict:
         .collect()  # bounded-collect: K ≈ √(n/64) centroid rows
     )
     cent_rows.sort(key=lambda r: r["vec_id"])
+    if refine_iters:
+        cent_rows = _refine_centroids_kmeans(emb, cent_rows, refine_iters)
     assigned = _assign_cells_arrow(
         emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")),
         "c_emb", cent_rows, "cell",
