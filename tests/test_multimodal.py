@@ -104,3 +104,63 @@ def test_ppm_decode_rejects_corrupt_payloads():
         _decode_ppm(_make_ppm(6, 4)[:-5])  # truncated raster
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG\r\n", fake=False)  # codec-bound format stays gated
+
+
+def _make_bmp(w, h):
+    """Deterministic uncompressed 24-bit BMP (bottom-up rows, 4-byte row
+    padding), built by hand so the decoder is tested against the spec."""
+    import struct
+
+    stride = (w * 3 + 3) & ~3
+    raster = bytearray()
+    for y in range(h):          # bottom-up: row y=0 is the BOTTOM row
+        row = bytearray()
+        for x in range(w):
+            v = (x * 7 + y * 13) % 256
+            row += bytes([v, (v * 3) % 256, (v * 5) % 256])  # B, G, R
+        row += b"\x00" * (stride - len(row))
+        raster += row
+    off = 54
+    header = b"BM" + struct.pack("<IHHI", off + len(raster), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster),
+                       2835, 2835, 0, 0)
+    return bytes(header + info + raster)
+
+
+def test_real_bmp_decode_end_to_end(spark):
+    import numpy as np
+
+    from translator_ingests_spark.functions.multimodal import _decode_bmp, decode_image
+
+    w, h = 5, 3
+    payload = _make_bmp(w, h)
+    stride = (w * 3 + 3) & ~3
+    raw = np.frombuffer(payload, dtype=np.uint8, offset=54).reshape(h, stride)
+    bgr = raw[:, : w * 3].reshape(h, w, 3)[::-1].astype(np.float64) / 255.0
+    expect = [
+        w / 4096.0, h / 4096.0,
+        bgr[:, :, 2].mean(), bgr[:, :, 1].mean(), bgr[:, :, 0].mean(),
+        bgr.mean(), bgr.std(), 1.0,
+    ]
+    assert _decode_bmp(payload) == pytest.approx(expect)
+    assert decode_image(payload, fake=False) == pytest.approx(expect)
+
+    media = spark.createDataFrame(
+        [(7, "image", bytearray(payload), None)], MEDIA_SCHEMA
+    )
+    out = extract_features(media, fake_decode=False).collect()
+    assert out[0]["feature"] == pytest.approx(expect, abs=1e-6)
+
+
+def test_bmp_decode_rejects_unsupported(spark):
+    import struct
+
+    from translator_ingests_spark.functions.multimodal import _decode_bmp
+
+    with pytest.raises(ValueError):
+        _decode_bmp(_make_bmp(5, 3)[:-4])  # truncated raster
+    # 8-bit palette BMP stays gated (honest NotImplementedError, not a fake)
+    bad = bytearray(_make_bmp(5, 3))
+    struct.pack_into("<H", bad, 28, 8)
+    with pytest.raises(NotImplementedError):
+        _decode_bmp(bytes(bad))

@@ -95,6 +95,50 @@ def _decode_ppm(payload: bytes) -> list[float]:
     ]
 
 
+def _decode_bmp(payload: bytes) -> list[float]:
+    """Real, dependency-free decode of an uncompressed 24-bit BMP
+    (BITMAPINFOHEADER, the overwhelmingly common layout): pixel rows are
+    bottom-up, BGR order, padded to 4-byte boundaries. Emits the SAME
+    8-dim feature shape as :func:`_decode_ppm` (last slot = 1.0 marks the
+    8-bit-channel source) so downstream similarity code is format-blind."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
+    off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMPs not supported")
+    w, h = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(f"only uncompressed 24-bit BMP (got bpp={bpp})")
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+    raster = np.frombuffer(payload, dtype=np.uint8, offset=off,
+                           count=stride * h)
+    if raster.size != stride * h:
+        raise ValueError("truncated BMP raster")
+    rows = raster.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    bgr = rows.astype(np.float64) / 255.0
+    return [
+        float(w) / 4096.0,
+        float(h) / 4096.0,
+        float(bgr[:, :, 2].mean()),  # R (BMP stores BGR)
+        float(bgr[:, :, 1].mean()),  # G
+        float(bgr[:, :, 0].mean()),  # B
+        float(bgr.mean()),
+        float(bgr.std()),
+        1.0,
+    ]
+
+
 def decode_image(payload: bytes, fake: bool = True) -> list[float]:
     """Decode + feature-extract one image payload.
 
@@ -108,6 +152,8 @@ def decode_image(payload: bytes, fake: bool = True) -> list[float]:
     if not fake:
         if payload[:2] == b"P6":
             return _decode_ppm(payload)
+        if payload[:2] == b"BM":
+            return _decode_bmp(payload)
         raise NotImplementedError(
             "real media decode beyond PPM requires PIL/ffmpeg, not present "
             "in this container"
