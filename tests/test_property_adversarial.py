@@ -66,7 +66,7 @@ def _engine_state(eng):
     }
 
 
-@pytest.mark.parametrize("mode", ["cow", "mor"])
+@pytest.mark.parametrize("mode", ["cow", "mor", "auto"])
 @settings(max_examples=6, deadline=None,
           suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
 @given(adversarial_logs())
