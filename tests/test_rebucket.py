@@ -105,3 +105,19 @@ def test_time_travel_read_at(spark, tmp_path):
            for r in eng.table.read().collect()}
     assert old[("r", "p0")] == "v0" and ("r", "p1") in old
     assert now[("r", "p0")] == "new" and ("r", "p1") not in now
+
+
+def test_changes_feed_across_rebucket(spark, tmp_path):
+    # a diff that SPANS a bucket-count change: the rebucket commit rewrites
+    # every file, so the feed's seed covers the full (new) bucket range and
+    # both sides read completely — net changes only, no rebucket noise
+    eng = seed(spark, tmp_path, n=6)
+    v1 = eng.table.current().version
+    from translator_ingests_spark.lake.maintenance import rebucket
+    rebucket(eng.table, 16)
+    nxt = [ev(100, "update", "r", "p2", "cx", "py", "fresh"),
+           ev(101, "delete", "r", "p4")]
+    eng.apply_log(spark.createDataFrame(nxt, EVENT_SCHEMA), events_per_batch=100)
+    feed = eng.table.changes(v1).select("repo", "path", "content", "_change_type").collect()
+    got = sorted((r["repo"], r["path"], r["content"], r["_change_type"]) for r in feed)
+    assert got == [("r", "p2", "fresh", "upsert"), ("r", "p4", None, "delete")]

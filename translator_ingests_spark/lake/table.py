@@ -627,7 +627,16 @@ class LakeTable:
         mor = any(f.get("delta") for f in s_to.files) or any(
             f.get("delta") for f in s_from.files
         )
-        if mor:
+        if s_from.num_buckets != s_to.num_buckets:
+            # a rebucket happened between the versions: bucket VALUES are
+            # not comparable across moduli (file ranges recorded under
+            # different hash spaces), so cross-version range pruning is
+            # invalid — diff the full net states instead. O(both sides),
+            # which is what a cross-rebucket diff costs anyway: the
+            # rebucket rewrote every file.
+            after = self._net_raw(s_to, s_to.files).drop(EXTRAS_COL)
+            before = self._net_raw(s_to, s_from.files).drop(EXTRAS_COL)
+        elif mor:
             # merge-on-read: a new delta file's row is a net change only if
             # it WINS the fold at v_to, so both sides must be the folded NET
             # state of the touched buckets (closure-complete subsets; cost ∝
