@@ -1,0 +1,117 @@
+"""spark-submit entrypoint for lake-table maintenance and predicate DML.
+
+Usage:
+  spark-submit --py-files translator_ingests_spark.zip jobs/maintenance_job.py \
+      --table-root /path/to/lake <command> [options]
+
+Commands:
+  compact              incremental compaction (tombstoned + delta files only)
+  compact-full         full rewrite (optionally --target-files N)
+  rebucket             partition-spec evolution: --num-buckets N (or --auto
+                       to take suggest_num_buckets' advice; no-op when the
+                       current count already satisfies the target)
+  expire               snapshot GC: --keep-last N
+  delete-where         bulk delete: --predicate "<SQL bool expr>" --at-lsn N
+  update-where         bulk update: --predicate ... --set "col=<SQL expr>"
+                       (repeatable) --at-lsn N
+
+Every command prints one JSON line with the resulting snapshot version and
+operation so schedulers can assert on the outcome.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--table-root", required=True)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("compact")
+    full = sub.add_parser("compact-full")
+    full.add_argument("--target-files", type=int, default=None)
+    full.add_argument("--drop-tombstones", action="store_true")
+    reb = sub.add_parser("rebucket")
+    reb.add_argument("--num-buckets", type=int, default=None)
+    reb.add_argument("--auto", action="store_true",
+                     help="use suggest_num_buckets' manifest-stat advice")
+    reb.add_argument("--target-rows-per-bucket", type=int, default=2_000_000)
+    exp = sub.add_parser("expire")
+    exp.add_argument("--keep-last", type=int, default=2)
+    dw = sub.add_parser("delete-where")
+    dw.add_argument("--predicate", required=True)
+    dw.add_argument("--at-lsn", type=int, required=True)
+    uw = sub.add_parser("update-where")
+    uw.add_argument("--predicate", required=True)
+    uw.add_argument("--set", action="append", required=True,
+                    help='assignment "col=<SQL expr>", repeatable')
+    uw.add_argument("--at-lsn", type=int, required=True)
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession, functions as F
+
+    spark = SparkSession.builder.appName(f"lake-{args.cmd}").getOrCreate()
+
+    from translator_ingests_spark.lake import maintenance
+    from translator_ingests_spark.lake.table import LakeTable
+
+    table = LakeTable(spark, args.table_root)
+    out: dict = {"cmd": args.cmd}
+
+    if args.cmd == "compact":
+        snap = maintenance.compact_incremental(table)
+        out.update(version=snap.version, operation=snap.operation)
+    elif args.cmd == "compact-full":
+        snap = maintenance.compact(
+            table, target_files=args.target_files,
+            drop_tombstones=args.drop_tombstones,
+        )
+        out.update(version=snap.version, operation=snap.operation)
+    elif args.cmd == "rebucket":
+        if args.auto:
+            nb = maintenance.suggest_num_buckets(
+                table.current(), target_rows_per_bucket=args.target_rows_per_bucket
+            )
+            if nb is None:
+                out.update(version=table.current().version, operation="noop",
+                           reason="bucket count already satisfies the target")
+                print(json.dumps(out))
+                return 0
+        else:
+            if args.num_buckets is None:
+                p.error("rebucket needs --num-buckets or --auto")
+            nb = args.num_buckets
+        snap = maintenance.rebucket(table, nb)
+        out.update(version=snap.version, operation=snap.operation, num_buckets=nb)
+    elif args.cmd == "expire":
+        res = maintenance.expire_snapshots(table, keep_last=args.keep_last)
+        out.update(version=table.current().version, **res)
+    elif args.cmd == "delete-where":
+        from translator_ingests_spark.lake.dml import delete_where
+
+        snap = delete_where(table, F.expr(args.predicate), at_lsn=args.at_lsn)
+        out.update(version=snap.version, operation=snap.operation)
+    elif args.cmd == "update-where":
+        from translator_ingests_spark.lake.dml import update_where
+
+        assignments = {}
+        for a in args.set:
+            col, _, expr = a.partition("=")
+            if not expr:
+                p.error(f'--set needs "col=<SQL expr>", got {a!r}')
+            assignments[col.strip()] = F.expr(expr)
+        snap = update_where(
+            table, F.expr(args.predicate), assignments, at_lsn=args.at_lsn
+        )
+        out.update(version=snap.version, operation=snap.operation)
+
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
