@@ -40,6 +40,10 @@ def main(argv: list[str] | None = None) -> int:
     reb.add_argument("--auto", action="store_true",
                      help="use suggest_num_buckets' manifest-stat advice")
     reb.add_argument("--target-rows-per-bucket", type=int, default=2_000_000)
+    clu = sub.add_parser("cluster")
+    clu.add_argument("--cols", required=True,
+                     help="comma-separated secondary-clustering columns")
+    clu.add_argument("--target-files", type=int, default=None)
     exp = sub.add_parser("expire")
     exp.add_argument("--keep-last", type=int, default=2)
     dw = sub.add_parser("delete-where")
@@ -87,6 +91,12 @@ def main(argv: list[str] | None = None) -> int:
             nb = args.num_buckets
         snap = maintenance.rebucket(table, nb)
         out.update(version=snap.version, operation=snap.operation, num_buckets=nb)
+    elif args.cmd == "cluster":
+        snap = maintenance.cluster_by(
+            table, [c.strip() for c in args.cols.split(",") if c.strip()],
+            target_files=args.target_files,
+        )
+        out.update(version=snap.version, operation=snap.operation)
     elif args.cmd == "expire":
         res = maintenance.expire_snapshots(table, keep_last=args.keep_last)
         out.update(version=table.current().version, **res)

@@ -121,3 +121,44 @@ def test_changes_feed_across_rebucket(spark, tmp_path):
     feed = eng.table.changes(v1).select("repo", "path", "content", "_change_type").collect()
     got = sorted((r["repo"], r["path"], r["content"], r["_change_type"]) for r in feed)
     assert got == [("r", "p2", "fresh", "upsert"), ("r", "p4", None, "delete")]
+
+
+def test_cluster_by_tightens_row_group_stats(spark, tmp_path):
+    """After cluster_by("lang"), rows inside each file are lang-runs within
+    bucket runs — the layout that makes parquet row-group min/max stats on
+    lang tight at production row-group sizes, so lang predicates skip
+    groups instead of reading every page."""
+    import pyarrow.parquet as pq
+
+    from translator_ingests_spark.lake.maintenance import cluster_by
+
+    eng = CdcEngine(spark, str(tmp_path / "t"), num_buckets=2,
+                    auto_compact_every=None)
+    langs = ["a", "b", "c", "d"]
+    events = [ev(i, "insert", "r", f"p{i}", "c", langs[i % 4], f"v{i}")
+              for i in range(64)]
+    eng.apply_log(spark.createDataFrame(events, EVENT_SCHEMA), events_per_batch=100)
+    snap = cluster_by(eng.table, ["lang"], target_files=1)
+    assert snap.operation == "cluster"
+    assert eng.final_state().count() == 64  # state unchanged by the rewrite
+    for f in snap.files:
+        tbl = pq.read_table(eng.table.localize_path(f["path"]),
+                            columns=["__bucket", "lang"])
+        pairs = list(zip(tbl.column("__bucket").to_pylist(),
+                         tbl.column("lang").to_pylist()))
+        assert pairs == sorted(pairs), "file not (bucket, lang)-sorted"
+        # sortedness bounds value transitions: ≤ buckets × langs runs, so a
+        # row-group boundary lands inside a run and its min==max stats are
+        # tight (vs the unclustered key-sort where lang cycles every 4 rows)
+        runs = 1 + sum(1 for i in range(1, len(pairs)) if pairs[i] != pairs[i - 1])
+        assert runs <= 2 * len(langs)
+
+
+def test_cluster_by_rejects_unknown_column(spark, tmp_path):
+    import pytest
+
+    from translator_ingests_spark.lake.maintenance import cluster_by
+
+    eng = seed(spark, tmp_path, n=4)
+    with pytest.raises(ValueError):
+        cluster_by(eng.table, ["nope"])

@@ -64,6 +64,7 @@ def _rewrite_files(
     new_num_buckets: int | None = None,
     operation: str = "compact",
     transform=None,
+    cluster_cols: list[str] | None = None,
 ) -> Snapshot:
     """Shared compaction engine: read ONLY ``rewrite`` files, optionally fold
     tombstones (watermark-gated), write ~target_files range-partitioned
@@ -94,6 +95,7 @@ def _rewrite_files(
             )
     nb = new_num_buckets if new_num_buckets is not None else snap.num_buckets
     df = df.withColumn("__bucket", table._bucket_expr(nb, snap.key_cols))
+    sort_cols = cluster_cols if cluster_cols else list(snap.key_cols)
     new_version = snap.version + 1
     out_dir = table._data_dir(new_version)
     (
@@ -101,8 +103,9 @@ def _rewrite_files(
         # key-sorted within bucket groups — same layout as merge's write, so
         # compaction preserves the tight row-group key stats the point-lookup
         # path relies on (round-3 ADVICE: a bucket-only sort silently
-        # discarded row-group skipping on every auto-compact)
-        .sortWithinPartitions("__bucket", *snap.key_cols)
+        # discarded row-group skipping on every auto-compact). cluster_by
+        # swaps in its own secondary sort columns instead.
+        .sortWithinPartitions("__bucket", *sort_cols)
         .write.mode("overwrite")
         .parquet(out_dir)
     )
@@ -203,6 +206,35 @@ def rebucket(
         table, snap, rewrite=list(snap.files), keep=[],
         target_files=n, drop_tombstones=drop_tombstones, force=False,
         new_num_buckets=new_num_buckets, operation="rebucket",
+    )
+
+
+def cluster_by(
+    table: LakeTable, cols: list[str], target_files: int | None = None
+) -> Snapshot:
+    """Secondary clustering (the OPTIMIZE ... ZORDER analog, linear form):
+    rewrite the table sorted by ``(__bucket, *cols)`` so parquet row-group
+    min/max statistics on ``cols`` become tight and predicates on them —
+    analytics filters, the DML probe scan — skip row groups instead of
+    reading every page.
+
+    Trade-off stated plainly: the key-sorted layout (merge/compaction
+    default) is what point lookups rely on; clustering by non-key columns
+    REPLACES that secondary order inside each bucket group, so pick the
+    columns the read workload actually filters on. Whole-table rewrite,
+    one cluster-parallel job, run rarely like :func:`rebucket`; the next
+    merge re-sorts only the buckets it touches (by key), so clustering
+    degrades gradually under writes rather than breaking anything.
+    Merge-on-read deltas fold in (NET state is what gets clustered)."""
+    snap = table.current()
+    unknown = [c for c in cols if c not in snap.schema.names()]
+    if unknown:
+        raise ValueError(f"unknown cluster columns: {unknown}")
+    n = target_files or max(1, snap.num_buckets // 4)
+    return _rewrite_files(
+        table, snap, rewrite=list(snap.files), keep=[],
+        target_files=n, drop_tombstones=True, force=False,
+        operation="cluster", cluster_cols=list(cols),
     )
 
 
