@@ -101,6 +101,7 @@ class CdcEngine:
         auto_compact_every: int | None = 16,
         small_batch_events: int = 1_000_000,
         write_mode: str = "cow",
+        partial_updates: bool = False,
     ):
         self.spark = spark
         self.root = root
@@ -134,6 +135,13 @@ class CdcEngine:
         if write_mode not in ("cow", "mor", "auto"):
             raise ValueError(f"unknown write_mode {write_mode!r}")
         self.write_mode = write_mode
+        # partial-update streams (null value column = "no change"): the
+        # per-key reduce becomes column-wise last-non-null-writer
+        # (reduce.partial_lww_reduce) and the merge coalesces unset columns
+        # from the target. COW only — the MOR fold is whole-row.
+        if partial_updates and write_mode != "cow":
+            raise ValueError("partial_updates requires write_mode='cow'")
+        self.partial_updates = partial_updates
         self.code_hash = compute_code_hash()
         self.table = LakeTable(spark, os.path.join(root, "lake"))
         self._ckpt_dir = os.path.join(root, "ckpt")
@@ -546,7 +554,21 @@ class CdcEngine:
             # the events.
             winners = None
             small_batch = n_valid <= self.small_batch_events
-            if small_batch:
+            if self.partial_updates:
+                # column-wise reduce (one aggregation); bucket set as on the
+                # small-batch path — from the upfront mask when available
+                from translator_ingests_spark.cdc.reduce import partial_lww_reduce
+
+                if pre_buckets is not None:
+                    affected_buckets = pre_buckets
+                else:
+                    bucket = self.table._bucket_expr(snap.num_buckets, snap.key_cols)
+                    affected_buckets = sorted(
+                        r["__b"]
+                        for r in valid.select(bucket.alias("__b")).distinct().collect()
+                    )
+                reduced = partial_lww_reduce(valid, keys=list(snap.key_cols))
+            elif small_batch:
                 # SMALL-BATCH fast path (round-3 VERDICT #3): below the
                 # threshold the winners persist + exact-count gate are pure
                 # fixed cost. The affected buckets come precomputed from the
@@ -619,6 +641,7 @@ class CdcEngine:
                 use_observation=self._delivery != "stream",
                 delivery=self._delivery,
                 mode=unit_mode,
+                partial_update=self.partial_updates,
             )
             if winners is not None:
                 winners.unpersist()

@@ -158,3 +158,59 @@ def lww_reduce(
     )
     reduced = cand.groupBy(*keys).agg(F.max_by(payload, order).alias("__row"))
     return reduced.select(*[F.col(f"__row.{c}").alias(c) for c in cols])
+
+
+def partial_lww_reduce(
+    df: DataFrame,
+    keys: list[str],
+    lsn_col: str = "lsn",
+    op_col: str = "op",
+) -> DataFrame:
+    """Within-batch reduction for PARTIAL-update streams (the Paimon
+    partial-update merge-engine analog): a non-delete event's NULL value
+    column means "no change", so the per-key survivor is assembled
+    column-wise — each value column takes its LAST NON-NULL writer, not the
+    last event's (possibly null) value.
+
+    Semantics per key, with ``D`` = the greatest delete LSN (if any):
+    - the survivor's LSN is the greatest event LSN; if that event is the
+      delete (``D == max``), the survivor IS a delete (values null);
+    - otherwise each value column takes the value of its greatest-LSN
+      non-null non-delete writer **above D** — writes at or below a delete
+      are dead (the delete killed the row; a later partial update
+      re-creates it with only the columns it actually set).
+
+    Plan: ONE hash aggregation — ``max_by(col, when(col set, lsn))`` plus a
+    per-column writer-LSN max and the delete-LSN max, then a pure
+    projection applies the delete gate. String-valued ``max_by`` buffers
+    demote the pass to ObjectHashAggregate (partial/map-side merge still
+    applies); that is the stated cost of the opt-in partial mode — the
+    default whole-row stream keeps the decomposed primitive-buffer plan of
+    :func:`lww_reduce`.
+    """
+    value_cols = [c for c in df.columns if c not in {*keys, lsn_col, op_col}]
+    is_del = F.col(op_col) == F.lit("delete")
+    aggs = [
+        F.max(F.col(lsn_col)).alias(lsn_col),
+        F.max(F.when(is_del, F.col(lsn_col))).alias("__del_lsn"),
+    ]
+    for c in value_cols:
+        live = F.when(F.col(c).isNotNull() & ~is_del, F.col(lsn_col))
+        aggs.append(F.max_by(F.col(c), live).alias(c))
+        aggs.append(F.max(live).alias(f"__wl_{c}"))
+    red = df.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+
+    died = F.coalesce(F.col("__del_lsn"), F.lit(-(1 << 62)))
+    out = [*[F.col(k) for k in keys]]
+    surv_is_del = F.col("__del_lsn").eqNullSafe(F.col(lsn_col))
+    for c in value_cols:
+        out.append(
+            F.when(
+                ~surv_is_del & (F.col(f"__wl_{c}") > died), F.col(c)
+            ).alias(c)
+        )
+    out.append(F.col(lsn_col))
+    out.append(
+        F.when(surv_is_del, F.lit("delete")).otherwise(F.lit("update")).alias(op_col)
+    )
+    return red.select(*out)

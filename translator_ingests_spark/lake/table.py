@@ -902,6 +902,7 @@ class LakeTable:
         use_observation: bool = True,
         delivery: str = "in_order",
         mode: str = "cow",
+        partial_update: bool = False,
     ) -> Snapshot:
         """Idempotent last-writer-wins MERGE of a pre-reduced batch.
 
@@ -935,9 +936,21 @@ class LakeTable:
         compaction cadence folds deltas back into base files, bounding read
         amplification. Same exactly-once guard, same watermark guard, same
         final state — pytest asserts MOR replay ≡ COW replay byte-for-byte.
+
+        ``partial_update=True`` (Paimon partial-update analog): a matched
+        update's NULL value column keeps the TARGET's value instead of
+        nulling it — the source row is a sparse column patch (reduced by
+        ``cdc.reduce.partial_lww_reduce``). COW only: the merge-on-read
+        fold is whole-row, so a partial delta would clobber unset columns
+        at read time — requesting both raises.
         """
         if mode not in ("cow", "mor"):
             raise ValueError(f"unknown merge mode {mode!r}")
+        if partial_update and mode == "mor":
+            raise ValueError(
+                "partial_update requires mode='cow': the MOR read fold is "
+                "whole-row and cannot coalesce unset columns per key"
+            )
         snap = self.current()
         if batch_id <= snap.last_batch_id:
             return snap  # already applied — exactly-once replay guard
@@ -1067,9 +1080,17 @@ class LakeTable:
         for k in keys:
             out_cols.append(F.coalesce(F.col(f"__s_{k}"), F.col(f"__t_{k}")).alias(k))
         for c in value_cols:
+            if partial_update:
+                # sparse patch: an unset (null) source column keeps the
+                # target's value; a matched tombstone target contributes
+                # null, so a partial re-insert after a delete carries only
+                # the columns the patch actually set
+                taken = F.coalesce(F.col(f"__s_{c}"), F.col(f"__t_{c}"))
+            else:
+                taken = F.col(f"__s_{c}")
             out_cols.append(
                 F.when(is_del, F.lit(None))
-                .when(take_src, F.col(f"__s_{c}"))
+                .when(take_src, taken)
                 .otherwise(F.col(f"__t_{c}"))
                 .alias(c)
             )
@@ -1082,9 +1103,13 @@ class LakeTable:
             .otherwise(F.coalesce(F.col("__t_tomb"), F.lit(False)))
             .alias(TOMBSTONE_COL)
         )
+        s_ex = (
+            F.coalesce(F.col("__s_extras"), F.col("__t_extras"))
+            if partial_update else F.col("__s_extras")
+        )
         out_cols.append(
             F.when(is_del, F.lit(None).cast(extras_map_t))
-            .when(take_src, F.col("__s_extras"))
+            .when(take_src, s_ex)
             .otherwise(F.col("__t_extras"))
             .alias(EXTRAS_COL)
         )
