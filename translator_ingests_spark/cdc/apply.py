@@ -749,6 +749,9 @@ class CdcEngine:
             else:
                 cols.append(F.lit(None).cast(_SPARK_TYPES[fld.type]).alias(fld.name))
         cols += [F.col("op"), F.col("lsn")]
+        if "__del_lsn" in reduced.columns:
+            # partial mode: the batch's kill marker rides through to merge
+            cols.append(F.col("__del_lsn"))
         if has_extras:
             # pass the raw extras map through — the lake retains it so values
             # for not-yet-added columns survive out-of-order schema evolution

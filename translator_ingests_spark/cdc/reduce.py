@@ -213,4 +213,9 @@ def partial_lww_reduce(
     out.append(
         F.when(surv_is_del, F.lit("delete")).otherwise(F.lit("update")).alias(op_col)
     )
+    # carried to the merge: a delete BELOW the survivor killed the key's
+    # whole prior row, so the coalescing merge must NOT resurrect target
+    # columns (partial mode's cross-batch contract: per-key in-order
+    # delivery, so any in-batch delete out-ranks the stored row)
+    out.append(F.when(~surv_is_del, F.col("__del_lsn")).alias("__del_lsn"))
     return red.select(*out)

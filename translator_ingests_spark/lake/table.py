@@ -1050,12 +1050,19 @@ class LakeTable:
         untouched_files = [f for f in snap.files if f["path"] not in affected_paths]
         tgt = self._net_raw(snap, affected_files)
 
+        # partial mode: a non-null __del_lsn means an in-batch delete killed
+        # the key's prior row — the coalesce below must not resurrect it
+        s_dl = (
+            F.col("__del_lsn") if partial_update and "__del_lsn" in src.columns
+            else F.lit(None).cast("long")
+        )
         s = src.select(
             *[F.col(k).alias(f"__s_{k}") for k in keys],
             *[F.col(c).alias(f"__s_{c}") for c in value_cols],
             F.col(op_col).alias("__s_op"),
             F.col(lsn_col).alias("__s_lsn"),
             s_extras.alias("__s_extras"),
+            s_dl.alias("__s_dl"),
         )
         t = tgt.select(
             *[F.col(k).alias(f"__t_{k}") for k in keys],
@@ -1084,8 +1091,12 @@ class LakeTable:
                 # sparse patch: an unset (null) source column keeps the
                 # target's value; a matched tombstone target contributes
                 # null, so a partial re-insert after a delete carries only
-                # the columns the patch actually set
-                taken = F.coalesce(F.col(f"__s_{c}"), F.col(f"__t_{c}"))
+                # the columns the patch actually set. An in-batch delete
+                # below the survivor (__s_dl) killed the prior row — then
+                # the patch's own columns are ALL that survives.
+                taken = F.when(
+                    F.col("__s_dl").isNotNull(), F.col(f"__s_{c}")
+                ).otherwise(F.coalesce(F.col(f"__s_{c}"), F.col(f"__t_{c}")))
             else:
                 taken = F.col(f"__s_{c}")
             out_cols.append(
@@ -1104,7 +1115,8 @@ class LakeTable:
             .alias(TOMBSTONE_COL)
         )
         s_ex = (
-            F.coalesce(F.col("__s_extras"), F.col("__t_extras"))
+            F.when(F.col("__s_dl").isNotNull(), F.col("__s_extras"))
+            .otherwise(F.coalesce(F.col("__s_extras"), F.col("__t_extras")))
             if partial_update else F.col("__s_extras")
         )
         out_cols.append(
