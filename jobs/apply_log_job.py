@@ -28,6 +28,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--table-root", required=True)
     p.add_argument("--batches", type=int, default=8)
     p.add_argument("--buckets", type=int, default=64)
+    p.add_argument("--partial-updates", action="store_true",
+                   help="treat NULL value columns in non-delete events as "
+                        "'no change' (sparse column patches; requires cow)")
     p.add_argument("--write-mode", choices=["cow", "mor", "auto"], default="cow",
                    help="cow rewrites touched bucket files per batch; mor "
                         "commits delta files (O(batch) writes, read-time "
@@ -45,7 +48,8 @@ def main(argv: list[str] | None = None) -> int:
     from translator_ingests_spark.cdc.generator import generate_event_log
 
     engine = CdcEngine(spark, args.table_root, num_buckets=args.buckets,
-                       write_mode=args.write_mode)
+                       write_mode=args.write_mode,
+                       partial_updates=args.partial_updates)
 
     if args.stream:
         from translator_ingests_spark.streaming import CdcStream

@@ -109,3 +109,30 @@ def test_stream_mor_epochs_match_oracle(spark, tmp_path):
     assert set(got) == set(want)
     for k in want:
         assert got[k]["content_sha256"] == want[k]["content_sha256"], k
+
+
+def test_stream_partial_updates_epoch(spark, tmp_path):
+    # partial mode through the streaming epoch path: a later chunk patches
+    # one column; the folded-in target value survives
+    rows = [
+        {"lsn": 0, "op": "insert", "repo": "r", "path": "a", "commit": "c0",
+         "lang": "py", "content": "v0", "schema_change": None,
+         "source_partition": 0, "source_offset": 0, "extras": None},
+        {"lsn": 1, "op": "update", "repo": "r", "path": "a", "commit": None,
+         "lang": "go", "content": None, "schema_change": None,
+         "source_partition": 0, "source_offset": 1, "extras": None},
+    ]
+    src = str(tmp_path / "ppart")
+    for i, chunk in enumerate([rows[:1], rows[1:]]):
+        spark.createDataFrame(chunk, EVENT_SCHEMA).coalesce(1).write.parquet(
+            f"{src}/chunk-{i:03d}"
+        )
+    eng = CdcEngine(spark, str(tmp_path / "ppart_cdc"), num_buckets=4,
+                    partial_updates=True, auto_compact_every=None)
+    CdcStream(
+        eng, source_dir=f"{src}/chunk-*",
+        checkpoint_dir=str(tmp_path / "ppart_ckpt"),
+        max_files_per_trigger=1,
+    ).run_available_now(timeout_sec=300)
+    row = {(r["repo"], r["path"]): r.asDict() for r in eng.final_state().collect()}[("r", "a")]
+    assert row["lang"] == "go" and row["content"] == "v0" and row["last_lsn"] == 1
