@@ -277,3 +277,17 @@ def test_auto_mode_picks_cow_for_bulk_then_mor_for_small_updates(spark, tmp_path
     assert delta_files(eng)
     st = state(eng)
     assert st[("r", "p1")]["content"] == "fresh" and len(st) == 40
+
+
+def test_expire_snapshots_keeps_live_delta_files(spark, tmp_path):
+    # GC with pending deltas: delta files referenced by retained snapshots
+    # survive; reads after expiry still fold correctly
+    from translator_ingests_spark.lake.maintenance import expire_snapshots
+
+    events = [ev(i, "insert", "r", f"p{i}", "c", "py", f"v{i}") for i in range(6)]
+    eng = run(spark, tmp_path, events, events_per_batch=2)  # 3 delta commits
+    before = state(eng)
+    res = expire_snapshots(eng.table, keep_last=1)
+    assert res["snapshots_removed"] >= 1
+    assert delta_files(eng)           # current snapshot still has its deltas
+    assert state(eng) == before       # fold unaffected by the GC

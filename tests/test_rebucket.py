@@ -162,3 +162,14 @@ def test_cluster_by_rejects_unknown_column(spark, tmp_path):
     eng = seed(spark, tmp_path, n=4)
     with pytest.raises(ValueError):
         cluster_by(eng.table, ["nope"])
+
+
+def test_lookup_still_correct_after_cluster_by(spark, tmp_path):
+    # cluster_by replaces the key-sorted secondary layout — point lookups
+    # lose row-group skipping but must stay CORRECT
+    from translator_ingests_spark.lake.maintenance import cluster_by
+
+    eng = seed(spark, tmp_path, n=16)
+    cluster_by(eng.table, ["lang"])
+    rows = eng.table.lookup([("r", "p7")]).collect()
+    assert len(rows) == 1 and rows[0]["content"] == "v7"
