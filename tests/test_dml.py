@@ -107,3 +107,14 @@ def test_delete_where_folds_mor_deltas_in_scope(spark, tmp_path):
     delete_where(eng.table, F.col("repo") == "r1", at_lsn=1000)
     st = state(eng)
     assert st and all(r == "r0" for r, _p in st)
+
+
+def test_update_where_over_mor_deltas(spark, tmp_path):
+    # the probe + rewrite must fold pending deltas: the updated value seen
+    # by the predicate and the rewrite is the NET (post-fold) row
+    eng = seed(spark, tmp_path, write_mode="mor")
+    update_where(eng.table, F.col("repo") == "r1",
+                 {"content": F.lit("patched")}, at_lsn=5000)
+    st = state(eng)
+    assert all(v["content"] == "patched" for (r, _p), v in st.items() if r == "r1")
+    assert all(v["content"] != "patched" for (r, _p), v in st.items() if r == "r0")

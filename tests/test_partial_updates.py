@@ -118,3 +118,23 @@ def test_partial_requires_cow(spark, tmp_path):
     with pytest.raises(ValueError):
         CdcEngine(spark, str(tmp_path / "y"), partial_updates=True,
                   write_mode="auto")
+
+
+def test_partial_patch_with_schema_added_column(spark, tmp_path):
+    # a partial patch that ONLY sets an evolution-added column (via extras)
+    # keeps every base column; a later patch with no extras keeps the
+    # added-column value through the extras coalesce
+    eng = mk(spark, tmp_path, sub="se")
+    e0 = ev(0, "insert", "r", "a", "c0", "py", "v0")
+    sc = {"lsn": 1, "op": "schema_change", "repo": None, "path": None,
+          "commit": None, "lang": None, "content": None,
+          "schema_change": {"kind": "add_column", "column": "stars",
+                            "new_name": None, "new_type": "long"},
+          "source_partition": 0, "source_offset": 1, "extras": None}
+    e2 = {**ev(2, "update", "r", "a"), "extras": {"stars": "7"}}
+    e3 = ev(3, "update", "r", "a", lang="go")  # no extras: stars must survive
+    apply(eng, spark, [e0, sc, e2, e3])
+    row = state(eng)[("r", "a")]
+    assert row["content"] == "v0" and row["lang"] == "go"
+    assert row["stars"] == 7
+    assert row["last_lsn"] == 3
