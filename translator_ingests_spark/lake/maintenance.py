@@ -32,9 +32,12 @@ def expire_snapshots(table: LakeTable, keep_last: int = 2) -> dict:
     keep.add(table.current().version)
 
     live: set[str] = set()
+    live_segs: set[str] = set()
     for v in keep:
         snap = table.snapshot_at(v)
         live.update(table.localize_path(f["path"]) for f in snap.files)
+        for ref in snap.segments or []:
+            live_segs.add(ref["name"])
 
     removed_files = 0
     data_root = os.path.join(table.root, "data")
@@ -45,12 +48,27 @@ def expire_snapshots(table: LakeTable, keep_last: int = 2) -> dict:
                 os.remove(full)
                 removed_files += 1
 
+    # manifest segments referenced by no retained snapshot: expired
+    # versions' exclusive segments plus fence-loser orphans (immutable and
+    # content-addressed, so deleting an unreferenced one can break no reader)
+    removed_segs = 0
+    mdir = table._manifest_dir
+    if os.path.isdir(mdir):
+        for fn in os.listdir(mdir):
+            if fn.startswith("seg-") and fn.endswith(".json") and fn not in live_segs:
+                os.remove(os.path.join(mdir, fn))
+                removed_segs += 1
+
     removed_snaps = 0
     for v in history:
         if v not in keep:
             os.remove(table._snapshot_path(v))
             removed_snaps += 1
-    return {"snapshots_removed": removed_snaps, "files_removed": removed_files}
+    return {
+        "snapshots_removed": removed_snaps,
+        "files_removed": removed_files,
+        "segments_removed": removed_segs,
+    }
 
 
 def _rewrite_files(

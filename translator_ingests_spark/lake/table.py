@@ -36,6 +36,7 @@ driver-side JSON (tiny, O(buckets) not O(rows)).
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import uuid
@@ -146,6 +147,75 @@ class LakeSchema:
 # Snapshot manifest
 # ---------------------------------------------------------------------------
 
+# files per manifest segment (the two-level manifest's leaf size). 256 keeps
+# leaf JSONs small enough to read in one syscall yet large enough that a
+# million-file table has ~4k segment refs in the snapshot — O(segments)
+# snapshot size instead of O(files). Tests shrink it to exercise reuse.
+SEGMENT_MAX_FILES = 256
+
+# immutable content-addressed segments → a plain grow-only process cache is
+# safe (a name is never rewritten with different content)
+_SEGMENT_CACHE: dict[str, list[dict]] = {}
+
+
+def _segment_digest(files: list[dict]) -> str:
+    """Content address of a manifest segment: stable across writers, so two
+    racing commits that produce an identical chunk converge on one file."""
+    blob = json.dumps(files, sort_keys=True, separators=(",", ":"))
+    return hashlib.sha256(blob.encode()).hexdigest()[:16]
+
+
+class _LazyFiles:
+    """List-shaped view over a snapshot's manifest segments, materialized on
+    first element access. ``current()`` on a segment-backed table therefore
+    reads ONE small JSON (the snapshot) — the O(files) leaf reads happen
+    only when a caller actually enumerates the file list, and the pruned
+    read paths (:meth:`LakeTable._files_for_buckets`) never do."""
+
+    __slots__ = ("_loader", "_data")
+
+    def __init__(self, loader):
+        self._loader = loader
+        self._data: list[dict] | None = None
+
+    def _materialize(self) -> list[dict]:
+        if self._data is None:
+            self._data = self._loader()
+        return self._data
+
+    def __iter__(self):
+        return iter(self._materialize())
+
+    def __len__(self):
+        return len(self._materialize())
+
+    def __getitem__(self, i):
+        return self._materialize()[i]
+
+    def __bool__(self):
+        return bool(self._materialize())
+
+    def __contains__(self, x):
+        return x in self._materialize()
+
+    def __add__(self, other):
+        return self._materialize() + list(other)
+
+    def append(self, item):
+        self._materialize().append(item)
+
+    def extend(self, items):
+        self._materialize().extend(items)
+
+    def __radd__(self, other):
+        return list(other) + self._materialize()
+
+    def __eq__(self, other):
+        return self._materialize() == list(other)
+
+    def __repr__(self):
+        return f"_LazyFiles({self._data!r})"
+
 
 @dataclass
 class Snapshot:
@@ -187,6 +257,12 @@ class Snapshot:
     # can be rebuilt with the ORIGINAL mode even if the resume run uses a
     # different one (validate's offset-range disjointness check routes on it)
     delivery: str = "in_order"
+    # manifest-segment refs this snapshot was LOADED from (two-level
+    # manifest): [{"name", "n_files", "bucket_min", "bucket_max",
+    # "has_deltas"}]. None for snapshots built in memory or loaded from the
+    # legacy inline-files format. Set by the table loader, never serialized
+    # here — _commit_snapshot recomputes the segmentation at write time.
+    segments: list[dict] | None = None
 
     def to_json(self) -> dict:
         return {
@@ -199,7 +275,7 @@ class Snapshot:
             "num_buckets": self.num_buckets,
             "key_cols": self.key_cols,
             "lsn_col": self.lsn_col,
-            "files": self.files,
+            "files": list(self.files),
             "lineage": self.lineage,
             "metrics": self.metrics,
             "code_hash": self.code_hash,
@@ -405,6 +481,13 @@ class LakeTable:
     def _snapshot_path(self, version: int) -> str:
         return os.path.join(self.root, "snapshots", f"v{version:08d}.json")
 
+    @property
+    def _manifest_dir(self) -> str:
+        return os.path.join(self.root, "manifests")
+
+    def _segment_path(self, name: str) -> str:
+        return os.path.join(self._manifest_dir, name)
+
     def _data_dir(self, version: int) -> str:
         return os.path.join(self.root, "data", f"commit-{version:08d}")
 
@@ -477,12 +560,94 @@ class LakeTable:
                 on_disk = json.load(fh)["version"]
             if healed > on_disk:
                 _atomic_write_json(self._pointer_path, {"version": healed})
-        with open(self._snapshot_path(healed)) as fh:
-            return Snapshot.from_json(json.load(fh))
+        return self._snapshot_from_raw(self._raw_snapshot(healed))
 
     def snapshot_at(self, version: int) -> Snapshot:
+        return self._snapshot_from_raw(self._raw_snapshot(version))
+
+    # -- two-level manifest (snapshot → segment refs → file entries) ---------
+    def _raw_snapshot(self, version: int) -> dict:
         with open(self._snapshot_path(version)) as fh:
-            return Snapshot.from_json(json.load(fh))
+            return json.load(fh)
+
+    def _load_segment(self, name: str) -> list[dict]:
+        path = self._segment_path(name)
+        seg = _SEGMENT_CACHE.get(path)
+        if seg is None:
+            with open(path) as fh:
+                seg = json.load(fh)["files"]
+            _SEGMENT_CACHE[path] = seg
+        return seg
+
+    def _snapshot_from_raw(self, d: dict) -> Snapshot:
+        """Resolve a snapshot JSON into a Snapshot. Segment-backed manifests
+        (``segments`` key) get a lazy file list — loading the snapshot costs
+        one small read regardless of table size; legacy inline-``files``
+        manifests load as before."""
+        segs = d.get("segments")
+        if segs is None:
+            return Snapshot.from_json(d)
+        snap = Snapshot.from_json({**d, "files": []})
+        snap.segments = segs
+        snap.files = _LazyFiles(
+            lambda: [f for ref in segs for f in self._load_segment(ref["name"])]
+        )
+        return snap
+
+    def _write_segments(self, snap: Snapshot) -> list[dict]:
+        """Segment the snapshot's file list, REUSING every parent segment
+        whose files are all unchanged. Commit I/O is therefore O(files in
+        touched segments + new files), not O(table): a bucket-pruned merge
+        that rewrites one bucket re-writes the one segment covering it and
+        re-references the rest. Leftover files are chunked in bucket order so
+        segments stay bucket-coherent — that is what makes both the reuse
+        test above true under bucket-local writes AND the segment-ref ranges
+        tight for two-level read pruning (:meth:`_files_for_buckets`).
+        Segments are immutable and content-addressed, so racing writers
+        producing an identical chunk converge on one file and a fence loser's
+        unreferenced segments are garbage (collected by expire_snapshots)."""
+        os.makedirs(self._manifest_dir, exist_ok=True)
+        new_files = list(snap.files)
+        remaining = {f["path"]: f for f in new_files}
+        refs: list[dict] = []
+        parent_refs: list[dict] = []
+        # duplicate path entries (corruption, or a validator fixture) must
+        # survive the round-trip byte-for-byte — the path-keyed reuse map
+        # would collapse them, so such manifests chunk fresh with no reuse
+        if len(remaining) != len(new_files):
+            for i in range(0, len(new_files), SEGMENT_MAX_FILES):
+                chunk = new_files[i : i + SEGMENT_MAX_FILES]
+                refs.append(self._put_segment(chunk))
+            return refs
+        if snap.parent is not None and os.path.exists(self._snapshot_path(snap.parent)):
+            parent_refs = self._raw_snapshot(snap.parent).get("segments") or []
+        for ref in parent_refs:
+            seg = self._load_segment(ref["name"])
+            if seg and all(remaining.get(f["path"]) == f for f in seg):
+                refs.append(ref)
+                for f in seg:
+                    remaining.pop(f["path"])
+        leftover = [f for f in new_files if f["path"] in remaining]
+        leftover.sort(key=lambda f: (f["bucket_min"], f["bucket_max"], f["path"]))
+        for i in range(0, len(leftover), SEGMENT_MAX_FILES):
+            refs.append(self._put_segment(leftover[i : i + SEGMENT_MAX_FILES]))
+        return refs
+
+    def _put_segment(self, chunk: list[dict]) -> dict:
+        """Write one immutable content-addressed segment (no-op if the same
+        content already exists) and return its snapshot ref."""
+        name = f"seg-{_segment_digest(chunk)}.json"
+        path = self._segment_path(name)
+        if not os.path.exists(path):
+            _atomic_write_json(path, {"files": chunk})
+        _SEGMENT_CACHE[path] = chunk
+        return {
+            "name": name,
+            "n_files": len(chunk),
+            "bucket_min": min(f["bucket_min"] for f in chunk),
+            "bucket_max": max(f["bucket_max"] for f in chunk),
+            "has_deltas": any(f.get("delta") for f in chunk),
+        }
 
     def history(self) -> list[int]:
         snaps = os.listdir(os.path.join(self.root, "snapshots"))
@@ -493,7 +658,13 @@ class LakeTable:
         # loser of a version race gets CommitConflictError before the
         # pointer moves. The pointer swap itself is a plain atomic replace —
         # it only ever advances to a snapshot whose manifest won its create.
-        _atomic_create_json(self._snapshot_path(snap.version), snap.to_json())
+        # The file list commits as two-level manifest-segment refs (written
+        # BEFORE the fence: segments are content-addressed and inert until a
+        # snapshot references them, so a loser's segments are mere garbage).
+        payload = snap.to_json()
+        payload["segments"] = self._write_segments(snap)
+        del payload["files"]
+        _atomic_create_json(self._snapshot_path(snap.version), payload)
         _atomic_write_json(self._pointer_path, {"version": snap.version})
 
     # -- read ---------------------------------------------------------------
@@ -754,12 +925,32 @@ class LakeTable:
             return folded
         return self._read_files(snap, clean, raw=True).unionByName(folded)
 
+    def _files_for_buckets(self, snap: Snapshot, buckets: list[int]) -> list[dict]:
+        """File entries whose bucket range meets ``buckets``, fold-complete
+        for merge-on-read deltas. On a segment-backed snapshot with no delta
+        segments this is TWO-LEVEL pruning: only segment refs whose range
+        intersects are opened, so the serving path's manifest cost is
+        O(segments + files in touched segments), never O(table files). Any
+        delta present → materialize and take the bucket-overlap closure
+        (delta folding needs global key coverage)."""
+        refs = snap.segments
+        if refs is not None and not any(r.get("has_deltas") for r in refs):
+            wanted = set(buckets)
+            cand: list[dict] = []
+            for r in refs:
+                if any(r["bucket_min"] <= b <= r["bucket_max"] for b in wanted):
+                    cand.extend(self._load_segment(r["name"]))
+            return [
+                f for f in cand
+                if any(f["bucket_min"] <= b <= f["bucket_max"] for b in wanted)
+            ]
+        if any(f.get("delta") for f in snap.files):
+            return self._bucket_closure(snap.files, buckets)
+        return self._files_overlapping(snap, buckets)
+
     def read_buckets(self, buckets: list[int], raw: bool = False) -> DataFrame:
         snap = self.current()
-        if any(f.get("delta") for f in snap.files):
-            files = self._bucket_closure(snap.files, buckets)
-        else:
-            files = self._files_overlapping(snap, buckets)
+        files = self._files_for_buckets(snap, buckets)
         df = self._net_raw(snap, files)
         return df if raw else self._visible(df, snap)
 
