@@ -25,11 +25,15 @@ def expire_snapshots(table: LakeTable, keep_last: int = 2) -> dict:
     referenced by no retained snapshot. The current pointer is never
     touched; deletion order (files before manifests) keeps every retained
     snapshot readable at all times."""
+    from translator_ingests_spark.lake.refs import list_tags
+
     history = table.history()
-    if len(history) <= keep_last:
-        return {"snapshots_removed": 0, "files_removed": 0}
     keep = set(history[-keep_last:])
     keep.add(table.current().version)
+    # tagged snapshots are load-bearing regardless of age (refs.py)
+    keep.update(list_tags(table).values())
+    if len(history) <= len(keep):
+        return {"snapshots_removed": 0, "files_removed": 0, "segments_removed": 0}
 
     live: set[str] = set()
     live_segs: set[str] = set()

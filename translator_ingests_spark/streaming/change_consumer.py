@@ -1,0 +1,104 @@
+"""Checkpointed incremental consumption of a lake table's change feed —
+the Delta CDF / Iceberg incremental-read analog for DOWNSTREAM jobs.
+
+The ingest side (`cdc/apply.py`) writes snapshots; a downstream pipeline
+(index build, aggregate refresh, replication) wants each commit's net row
+changes exactly once. :class:`ChangesConsumer` tracks a per-consumer cursor
+(last fully processed snapshot version) in its own checkpoint file and
+serves `table.changes(cursor, current)` batches:
+
+- cost per poll ∝ buckets rewritten between the two versions (the change
+  feed's manifest pruning), never table size;
+- the cursor advances only after the caller's process function returns, so
+  a crash replays the same batch — at-least-once delivery, upgraded to
+  exactly-once by idempotent sinks exactly like the ingest side's batch-id
+  guard (the batch is keyed by ``(v_from, v_to]`` for the sink to dedup on);
+- a cursor older than the table's retained history (GC'd snapshot) raises
+  :class:`CursorExpiredError` — the consumer must rebuild from a full read,
+  the Kafka offset-out-of-range analog. Pin the consumer's floor with a tag
+  (:mod:`translator_ingests_spark.lake.refs`) to prevent this.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+
+from translator_ingests_spark.lake.table import LakeTable, _atomic_write_json
+
+
+class CursorExpiredError(RuntimeError):
+    """The consumer's cursor snapshot has been expired by GC; incremental
+    reads can no longer be served and the consumer must re-bootstrap."""
+
+
+class ChangesConsumer:
+    def __init__(self, table: LakeTable, checkpoint_dir: str, name: str = "consumer"):
+        self.table = table
+        self.name = name
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        self._cursor_path = os.path.join(checkpoint_dir, f"{name}.cursor.json")
+
+    # -- cursor --------------------------------------------------------------
+    def position(self) -> int | None:
+        """Last fully processed snapshot version; None before bootstrap."""
+        if not os.path.exists(self._cursor_path):
+            return None
+        with open(self._cursor_path) as fh:
+            return json.load(fh)["version"]
+
+    def _advance(self, version: int) -> None:
+        _atomic_write_json(self._cursor_path, {"version": version})
+
+    # -- consumption ---------------------------------------------------------
+    def bootstrap(self) -> DataFrame:
+        """Initial full state; positions the cursor at the snapshot served,
+        so the next poll is incremental from here."""
+        snap = self.table.current()
+        df = self.table.read_at(snap.version)
+        self._advance(snap.version)
+        return df
+
+    def poll(self) -> tuple[DataFrame, int, int] | None:
+        """Changes since the cursor up to the current snapshot, as
+        ``(changes_df, v_from, v_to)`` — or None when already caught up.
+        Does NOT advance the cursor; call :meth:`commit` (or use
+        :meth:`process_available`) after the batch is durably handled."""
+        pos = self.position()
+        if pos is None:
+            raise RuntimeError("consumer has no cursor; call bootstrap() first")
+        cur = self.table.current().version
+        if cur <= pos:
+            return None
+        try:
+            self.table.snapshot_at(pos)
+        except FileNotFoundError as e:
+            raise CursorExpiredError(
+                f"cursor v{pos} expired from table history; re-bootstrap"
+            ) from e
+        return self.table.changes(pos, cur), pos, cur
+
+    def commit(self, version: int) -> None:
+        """Mark everything up to ``version`` processed. Refuses to move the
+        cursor backwards (a late commit of an old poll after a newer one)."""
+        pos = self.position()
+        if pos is not None and version < pos:
+            raise ValueError(f"cursor may not regress: {version} < {pos}")
+        self._advance(version)
+
+    def process_available(self, fn) -> int:
+        """Drain all pending changes through ``fn(changes_df, v_from, v_to)``,
+        committing after each successful call (one table commit may be
+        coalesced with later ones into a single batch — net semantics).
+        Returns the number of batches processed."""
+        n = 0
+        while True:
+            batch = self.poll()
+            if batch is None:
+                return n
+            df, v_from, v_to = batch
+            fn(df, v_from, v_to)
+            self.commit(v_to)
+            n += 1
