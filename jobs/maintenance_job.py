@@ -15,6 +15,12 @@ Commands:
   update-where         bulk update: --predicate ... --set "col=<SQL expr>"
                        (repeatable) --at-lsn N
 
+delete-where / update-where also take --preds '<JSON [[col,op,value],...]>'
+(ops = < <= > >= in, conjunctive): triples compile to the same filter AND
+stat-prune the probe scan via the manifest column bounds (lake/scan.py), so
+the probe reads only possibly-matching files instead of the whole table.
+--predicate and --preds compose (ANDed); at least one is required.
+
 Every command prints one JSON line with the resulting snapshot version and
 operation so schedulers can assert on the outcome.
 """
@@ -47,10 +53,14 @@ def main(argv: list[str] | None = None) -> int:
     exp = sub.add_parser("expire")
     exp.add_argument("--keep-last", type=int, default=2)
     dw = sub.add_parser("delete-where")
-    dw.add_argument("--predicate", required=True)
+    dw.add_argument("--predicate", default=None)
+    dw.add_argument("--preds", default=None,
+                    help='JSON triples [[col,op,value],...] — stat-prunes the probe')
     dw.add_argument("--at-lsn", type=int, required=True)
     uw = sub.add_parser("update-where")
-    uw.add_argument("--predicate", required=True)
+    uw.add_argument("--predicate", default=None)
+    uw.add_argument("--preds", default=None,
+                    help='JSON triples [[col,op,value],...] — stat-prunes the probe')
     uw.add_argument("--set", action="append", required=True,
                     help='assignment "col=<SQL expr>", repeatable')
     uw.add_argument("--at-lsn", type=int, required=True)
@@ -100,23 +110,27 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "expire":
         res = maintenance.expire_snapshots(table, keep_last=args.keep_last)
         out.update(version=table.current().version, **res)
-    elif args.cmd == "delete-where":
-        from translator_ingests_spark.lake.dml import delete_where
+    elif args.cmd in ("delete-where", "update-where"):
+        from translator_ingests_spark.lake.dml import delete_where, update_where
 
-        snap = delete_where(table, F.expr(args.predicate), at_lsn=args.at_lsn)
-        out.update(version=snap.version, operation=snap.operation)
-    elif args.cmd == "update-where":
-        from translator_ingests_spark.lake.dml import update_where
-
-        assignments = {}
-        for a in args.set:
-            col, _, expr = a.partition("=")
-            if not expr:
-                p.error(f'--set needs "col=<SQL expr>", got {a!r}')
-            assignments[col.strip()] = F.expr(expr)
-        snap = update_where(
-            table, F.expr(args.predicate), assignments, at_lsn=args.at_lsn
+        if args.predicate is None and args.preds is None:
+            p.error(f"{args.cmd} needs --predicate and/or --preds")
+        cond = F.expr(args.predicate) if args.predicate else None
+        preds = (
+            [tuple(t) for t in json.loads(args.preds)] if args.preds else None
         )
+        if args.cmd == "delete-where":
+            snap = delete_where(table, cond, at_lsn=args.at_lsn, preds=preds)
+        else:
+            assignments = {}
+            for a in args.set:
+                col, _, expr = a.partition("=")
+                if not expr:
+                    p.error(f'--set needs "col=<SQL expr>", got {a!r}')
+                assignments[col.strip()] = F.expr(expr)
+            snap = update_where(
+                table, cond, assignments, at_lsn=args.at_lsn, preds=preds
+            )
         out.update(version=snap.version, operation=snap.operation)
 
     print(json.dumps(out))

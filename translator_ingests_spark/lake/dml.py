@@ -38,6 +38,7 @@ import os
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from translator_ingests_spark.lake import scan
 from translator_ingests_spark.lake.maintenance import _rewrite_files
 from translator_ingests_spark.lake.table import (
     EXTRAS_COL,
@@ -47,11 +48,22 @@ from translator_ingests_spark.lake.table import (
 )
 
 
-def _matching_files(table: LakeTable, snap: Snapshot, cond: Column) -> list[dict]:
+def _matching_files(
+    table: LakeTable,
+    snap: Snapshot,
+    cond: Column,
+    preds: list[tuple] | None = None,
+) -> list[dict]:
     """Phase 1: manifest files whose VISIBLE rows match ``cond`` — one scan,
     pruned to the predicate's columns + file name, aggregated to a tiny
-    distinct-file list driver-side."""
-    raw = table._read_files(snap, snap.files, raw=True)
+    distinct-file list driver-side. When the caller expresses the predicate
+    as stat-prunable triples (``preds``), the probe scan itself skips files
+    whose manifest column bounds prove them irrelevant (lake/scan.py) — the
+    probe cost drops from O(table) to O(possibly-matching files)."""
+    probe_files = (
+        scan.prune_files(table, snap, preds) if preds else list(snap.files)
+    )
+    raw = table._read_files(snap, probe_files, raw=True)
     hits = (
         raw.withColumn("__file", F.input_file_name())
         .filter(~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)) & cond)
@@ -84,13 +96,30 @@ def _closure(table: LakeTable, snap: Snapshot, files: list[dict]) -> list[dict]:
     return table._bucket_closure(snap.files, seed)
 
 
-def delete_where(table: LakeTable, cond: Column, at_lsn: int) -> Snapshot:
+def delete_where(
+    table: LakeTable,
+    cond: Column | None,
+    at_lsn: int,
+    preds: list[tuple] | None = None,
+) -> Snapshot:
     """Tombstone every visible row matching ``cond`` at LSN ``at_lsn``.
+
+    ``preds`` — optional conjunctive triples ``(col, op, value)`` (see
+    lake/scan.py). When given they stat-prune the probe scan; with
+    ``cond=None`` they ARE the predicate. A ``cond`` passed alongside is
+    ANDed with them — sound unconditionally, because a file whose stats
+    exclude ``preds`` cannot match the conjunction either.
 
     Returns the committed snapshot (``operation="delete"``), or the current
     snapshot untouched when nothing matches (no empty commits)."""
+    if cond is None:
+        if not preds:
+            raise ValueError("delete_where needs cond or preds")
+        cond = scan.predicates_condition(preds)
+    elif preds:
+        cond = cond & scan.predicates_condition(preds)
     snap = table.current()
-    rewrite = _closure(table, snap, _matching_files(table, snap, cond))
+    rewrite = _closure(table, snap, _matching_files(table, snap, cond, preds))
     if not rewrite:
         return snap
     keep_paths = {f["path"] for f in rewrite}
@@ -132,15 +161,26 @@ def delete_where(table: LakeTable, cond: Column, at_lsn: int) -> Snapshot:
 
 
 def update_where(
-    table: LakeTable, cond: Column, assignments: dict[str, Column], at_lsn: int
+    table: LakeTable,
+    cond: Column | None,
+    assignments: dict[str, Column],
+    at_lsn: int,
+    preds: list[tuple] | None = None,
 ) -> Snapshot:
     """Rewrite columns of every visible row matching ``cond``: each key in
     ``assignments`` (a non-key, non-LSN column) is set to its Column
     expression (evaluated against the row), and the row's LSN advances to
     ``at_lsn`` so the change wins LWW against redelivered stale events.
+    ``preds`` stat-prunes the probe exactly as in :func:`delete_where`.
 
     Returns the committed snapshot (``operation="update"``), or the current
     snapshot when nothing matches."""
+    if cond is None:
+        if not preds:
+            raise ValueError("update_where needs cond or preds")
+        cond = scan.predicates_condition(preds)
+    elif preds:
+        cond = cond & scan.predicates_condition(preds)
     snap = table.current()
     illegal = set(assignments) & ({*snap.key_cols, snap.lsn_col})
     if illegal:

@@ -121,7 +121,12 @@ def _rewrite_files(
     new_version = snap.version + 1
     out_dir = table._data_dir(new_version)
     (
-        df.repartitionByRange(target_files, "__bucket")
+        # range-partition by (__bucket, secondary sort) — not bucket alone —
+        # so FILE boundaries fall along the secondary order too: cluster_by
+        # then yields per-file disjoint ranges on its cluster columns and the
+        # manifest column stats (lake/scan.py) prune whole files, not just
+        # row groups. __bucket still leads, keeping bucket ranges contiguous.
+        df.repartitionByRange(target_files, "__bucket", *sort_cols)
         # key-sorted within bucket groups — same layout as merge's write, so
         # compaction preserves the tight row-group key stats the point-lookup
         # path relies on (round-3 ADVICE: a bucket-only sort silently

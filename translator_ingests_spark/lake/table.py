@@ -333,13 +333,29 @@ def _bucket_range_from_footer(path: str) -> tuple[int, int] | None:
     return None if st is None else (st["bucket_min"], st["bucket_max"])
 
 
+# column-stat collection bounds: strings longer than this are not recorded
+# (an Iceberg `write.metadata.metrics.truncate` analog — we drop rather than
+# truncate-and-increment, which is simpler and equally conservative)
+_COL_STAT_MAX_STR = 64
+# values JSON-serializable as-is; anything else (bytes, datetime) is skipped
+_COL_STAT_TYPES = (bool, int, float, str)
+
+
 def _file_stats_from_footer(path: str) -> dict | None:
     """Per-file manifest stats from ONE parquet footer read (no data pages):
-    the __bucket min/max range plus whether any row group may contain
-    tombstone rows (boolean column statistics: max == True ⇒ present;
-    missing stats ⇒ conservatively True). The tombstone flag lets the
-    incremental compactor skip clean files entirely — its cost becomes
-    O(files holding tombstones), not O(table)."""
+
+    - the ``__bucket`` min/max range (manifest-level bucket pruning),
+    - whether any row group may contain tombstone rows (boolean column
+      statistics: max == True ⇒ present; missing stats ⇒ conservatively
+      True) — lets the incremental compactor skip clean files entirely,
+    - per-column min/max for every primitive user column (``cols``): the
+      Iceberg data-file-metrics analog that :mod:`lake.scan` uses for
+      predicate-based FILE skipping. A column's stat is dropped for the
+      whole file the moment any row group lacks min/max or a string bound
+      exceeds ``_COL_STAT_MAX_STR`` — absence always means "cannot prune",
+      never "no rows" (sound for every manifest written before the stat
+      existed, too).
+    """
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
@@ -347,16 +363,21 @@ def _file_stats_from_footer(path: str) -> dict | None:
         return None
     idx = tomb_idx = None
     schema = md.schema
+    col_idx: dict[str, int] = {}
     for i in range(len(schema)):
         name = schema.column(i).name
         if name == "__bucket":
             idx = i
         elif name == "__tombstone":
             tomb_idx = i
+        elif not name.startswith("__") and "." not in schema.column(i).path:
+            col_idx[name] = i
     if idx is None:
         return None
     lo = hi = None
     has_tomb = False
+    cols: dict[str, list] = {}
+    dead: set[str] = set()
     for rg in range(md.num_row_groups):
         st = md.row_group(rg).column(idx).statistics
         if st is None or not st.has_min_max:
@@ -367,6 +388,8 @@ def _file_stats_from_footer(path: str) -> dict | None:
                 return None
             lo, hi = min(vals), max(vals)
             has_tomb = True  # unknown — stay conservative
+            cols = {}
+            dead = set(col_idx)
             break
         lo = st.min if lo is None else min(lo, st.min)
         hi = st.max if hi is None else max(hi, st.max)
@@ -379,9 +402,40 @@ def _file_stats_from_footer(path: str) -> dict | None:
                     has_tomb = True
                 elif bool(ts.max):
                     has_tomb = True
+        for name, ci in col_idx.items():
+            if name in dead:
+                continue
+            cs = md.row_group(rg).column(ci).statistics
+            if cs is None or not cs.has_min_max:
+                # all-null row groups legitimately lack min/max; the column
+                # may still have nulls elsewhere — only a FULLY absent stat
+                # forces the drop. Track nullability separately if needed.
+                if cs is not None and cs.null_count == md.row_group(rg).num_rows:
+                    continue  # all-null group: contributes no bound
+                dead.add(name)
+                cols.pop(name, None)
+                continue
+            cmin, cmax = cs.min, cs.max
+            if not (
+                isinstance(cmin, _COL_STAT_TYPES)
+                and isinstance(cmax, _COL_STAT_TYPES)
+            ) or (
+                isinstance(cmin, str) and len(cmin) > _COL_STAT_MAX_STR
+            ) or (
+                isinstance(cmax, str) and len(cmax) > _COL_STAT_MAX_STR
+            ):
+                dead.add(name)
+                cols.pop(name, None)
+                continue
+            prev = cols.get(name)
+            if prev is None:
+                cols[name] = [cmin, cmax]
+            else:
+                prev[0] = min(prev[0], cmin)
+                prev[1] = max(prev[1], cmax)
     if lo is None:
         return None
-    return {
+    out = {
         "bucket_min": lo,
         "bucket_max": hi,
         "has_tombstones": has_tomb,
@@ -389,6 +443,9 @@ def _file_stats_from_footer(path: str) -> dict | None:
         # estimate per-bucket occupancy from manifest metadata alone
         "rows": md.num_rows,
     }
+    if cols:
+        out["cols"] = cols
+    return out
 
 
 # n_parts -> salts such that pmod(F.hash(salt_g), n_parts) == g: lets a
