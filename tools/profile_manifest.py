@@ -70,6 +70,18 @@ def _entry(i: int, commit: int) -> dict:
         "bucket_min": b,
         "bucket_max": b,
         "has_tombstones": False,
+        # representative per-column min/max stats (lake/scan.py skipping):
+        # the realistic CDC-schema payload — content itself is dropped by
+        # the 64-char string cap, so entries carry the short columns only.
+        # Included here so the metadata-scaling claim is measured WITH the
+        # data-skipping stats, not for the stat-free best case.
+        "cols": {
+            "repo": [f"org/repo-{i % 97:04d}", f"org/repo-{i % 97 + 512:04d}"],
+            "path": [f"src/a{i % 31:03d}/f0.py", f"src/z{i % 31:03d}/f9.py"],
+            "commit": ["0" * 40, "f" * 40],
+            "lang": ["c", "rust"],
+            "last_lsn": [i * 1000, i * 1000 + 999],
+        },
     }
 
 
