@@ -50,6 +50,11 @@ def main(argv: list[str] | None = None) -> int:
     clu.add_argument("--cols", required=True,
                      help="comma-separated secondary-clustering columns")
     clu.add_argument("--target-files", type=int, default=None)
+    zo = sub.add_parser("zorder")
+    zo.add_argument("--cols", required=True,
+                    help="comma-separated columns to z-order (>= 2)")
+    zo.add_argument("--target-files", type=int, default=None)
+    zo.add_argument("--bits", type=int, default=8)
     exp = sub.add_parser("expire")
     exp.add_argument("--keep-last", type=int, default=2)
     dw = sub.add_parser("delete-where")
@@ -105,6 +110,12 @@ def main(argv: list[str] | None = None) -> int:
         snap = maintenance.cluster_by(
             table, [c.strip() for c in args.cols.split(",") if c.strip()],
             target_files=args.target_files,
+        )
+        out.update(version=snap.version, operation=snap.operation)
+    elif args.cmd == "zorder":
+        snap = maintenance.z_order_by(
+            table, [c.strip() for c in args.cols.split(",") if c.strip()],
+            target_files=args.target_files, bits=args.bits,
         )
         out.update(version=snap.version, operation=snap.operation)
     elif args.cmd == "expire":

@@ -51,6 +51,10 @@ def test_maintenance_job_roundtrip(spark, tmp_path, capsys):
     got = {r["path"]: r["content"] for r in eng.table.read().collect()}
     assert got["p1"] == "seen:p1" and got["p2"] == "v2"
 
+    out = run(capsys, "--table-root", root, "zorder",
+              "--cols", "repo,lang", "--target-files", "2")
+    assert out["operation"] == "zorder"
+
     out = run(capsys, "--table-root", root, "compact")
     assert out["cmd"] == "compact"
     out = run(capsys, "--table-root", root, "expire", "--keep-last", "1")

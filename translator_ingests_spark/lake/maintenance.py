@@ -87,6 +87,7 @@ def _rewrite_files(
     operation: str = "compact",
     transform=None,
     cluster_cols: list[str] | None = None,
+    drop_cols: list[str] | None = None,
 ) -> Snapshot:
     """Shared compaction engine: read ONLY ``rewrite`` files, optionally fold
     tombstones (watermark-gated), write ~target_files range-partitioned
@@ -133,6 +134,10 @@ def _rewrite_files(
         # discarded row-group skipping on every auto-compact). cluster_by
         # swaps in its own secondary sort columns instead.
         .sortWithinPartitions("__bucket", *sort_cols)
+        # helper layout columns (e.g. the interleaved z-value) steered the
+        # range partitioner + sort above; a projection drops them without
+        # disturbing intra-partition row order, so they never hit disk
+        .drop(*(drop_cols or []))
         .write.mode("overwrite")
         .parquet(out_dir)
     )
@@ -262,6 +267,102 @@ def cluster_by(
         table, snap, rewrite=list(snap.files), keep=[],
         target_files=n, drop_tombstones=True, force=False,
         operation="cluster", cluster_cols=list(cols),
+    )
+
+
+def _z_source_expr(dtype: str, col: str):
+    """Order-preserving numeric image of ``col`` for quantile coding.
+
+    Strings map through their first 6 UTF-8 bytes read as a big-endian
+    integer, zero-padded on the right — exactly the binary-collation prefix
+    order Spark's UTF8String comparison uses, and 48 bits stays exact in a
+    double. Numerics/dates/timestamps cast directly. Coarse ties (strings
+    sharing a 6-byte prefix) are fine: codes only steer layout, never
+    correctness."""
+    if dtype == "string":
+        return F.conv(
+            F.rpad(F.hex(F.substring(F.encode(F.col(col), "UTF-8"), 1, 6)),
+                   12, "0"),
+            16, 10,
+        ).cast("double")
+    if dtype in ("byte", "tinyint", "short", "smallint", "int", "integer",
+                 "long", "bigint", "float", "double", "boolean", "date",
+                 "timestamp"):
+        return F.col(col).cast("double")
+    raise ValueError(f"z-order does not support column type {dtype!r} ({col})")
+
+
+def z_order_by(
+    table: LakeTable, cols: list[str], target_files: int | None = None,
+    bits: int = 8,
+) -> Snapshot:
+    """Multi-dimensional secondary clustering — the OPTIMIZE ... ZORDER
+    analog proper, where :func:`cluster_by` is the linear form.
+
+    Each column is quantile-coded to ``bits`` bits (one ``approxQuantile``
+    pass over the visible data for the split points — O(2^bits · cols)
+    driver memory — then a JVM binary-search Bucketizer), the codes are
+    bit-interleaved into one z-value, and the table rewrites range-
+    partitioned and sorted by (__bucket, z). File boundaries then cut the
+    z-curve, so every file covers a small hyper-rectangle of the clustered
+    columns and the manifest min/max stats (lake/scan.py) prune files for a
+    predicate on ANY clustered column — the property linear clustering only
+    gives its leading column. Quantile (not uniform) coding makes the curve
+    skew-proof: each code covers an equal row mass, so hot values cannot
+    collapse the interleave into one giant cell.
+
+    Same operational envelope as :func:`cluster_by`: whole-table rewrite,
+    run rarely, degrades gradually under subsequent key-sorted merges;
+    deltas fold in, z-values never hit disk (dropped pre-write)."""
+    snap = table.current()
+    unknown = [c for c in cols if c not in snap.schema.names()]
+    if unknown:
+        raise ValueError(f"unknown z-order columns: {unknown}")
+    if len(cols) < 2:
+        raise ValueError("z-order needs >= 2 columns; use cluster_by for one")
+    if bits < 1 or bits * len(cols) > 63:
+        raise ValueError(f"bits * len(cols) must fit a long: {bits}*{len(cols)}")
+    from pyspark.ml.feature import Bucketizer
+
+    vis = table.read()
+    dtypes = dict(vis.dtypes)
+    srcs = [f"__zsrc_{j}" for j in range(len(cols))]
+    code_cols = [f"__zcode_{j}" for j in range(len(cols))]
+    probs = [i / (1 << bits) for i in range(1, 1 << bits)]
+    proj = vis.select(
+        *[_z_source_expr(dtypes[c], c).alias(s) for c, s in zip(cols, srcs)]
+    )
+    # bounded-collect: 2^bits quantiles per column, driver-side split points
+    quantiles = proj.approxQuantile(srcs, probs, 0.001)
+    splits_arr = [
+        [float("-inf"), *sorted(set(q)), float("inf")] for q in quantiles
+    ]
+    bucketizer = Bucketizer(
+        splitsArray=splits_arr, inputCols=srcs, outputCols=code_cols,
+        handleInvalid="keep",  # nulls → overflow code; reads as 0 below
+    )
+    k = len(cols)
+
+    def add_z(df: DataFrame) -> DataFrame:
+        for c, s in zip(cols, srcs):
+            df = df.withColumn(s, _z_source_expr(dtypes[c], c))
+        df = bucketizer.transform(df)
+        z = F.lit(0).cast("long")
+        for b in range(bits):
+            for j, code in enumerate(code_cols):
+                bit = (
+                    F.shiftright(F.col(code).cast("long"), b)
+                    .bitwiseAND(F.lit(1))
+                )
+                z = z.bitwiseOR(F.shiftleft(bit, b * k + j))
+        return df.withColumn("__zvalue", z).drop(*srcs, *code_cols)
+
+    n = target_files or max(1, snap.num_buckets // 4)
+    return _rewrite_files(
+        table, snap, rewrite=list(snap.files), keep=[],
+        target_files=n, drop_tombstones=True, force=False,
+        operation="zorder", transform=add_z,
+        cluster_cols=["__zvalue"], drop_cols=["__zvalue"],
     )
 
 
