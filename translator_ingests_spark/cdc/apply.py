@@ -102,6 +102,7 @@ class CdcEngine:
         small_batch_events: int = 1_000_000,
         write_mode: str = "cow",
         partial_updates: bool = False,
+        bloom_cols: list[str] | dict[str, int] | None = None,
     ):
         self.spark = spark
         self.root = root
@@ -110,6 +111,7 @@ class CdcEngine:
         self.hot_key_threshold = hot_key_threshold
         self.hot_sample_fraction = hot_sample_fraction
         self.salt_buckets = salt_buckets
+        self._bloom_cols = bloom_cols
         # tombstone-retention policy: every K committed units, fold out
         # tombstones at or below the low watermark (safe: merge rejects
         # events at/below the watermark, so compacted deletes can't resurrect).
@@ -160,6 +162,7 @@ class CdcEngine:
                 key_cols=["repo", "path"],
                 lsn_col="last_lsn",
                 num_buckets=self.num_buckets,
+                bloom_cols=self._bloom_cols,
             )
         os.makedirs(self._ckpt_dir, exist_ok=True)
 

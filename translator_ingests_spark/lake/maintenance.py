@@ -139,6 +139,7 @@ def _rewrite_files(
         # disturbing intra-partition row order, so they never hit disk
         .drop(*(drop_cols or []))
         .write.mode("overwrite")
+        .options(**table._parquet_write_options(df.columns))
         .parquet(out_dir)
     )
     new_files = list(keep)

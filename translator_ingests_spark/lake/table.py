@@ -529,11 +529,16 @@ class LakeTable:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
+        self._config_cache: dict | None = None
 
     # -- locations ---------------------------------------------------------
     @property
     def _pointer_path(self) -> str:
         return os.path.join(self.root, "_pointer.json")
+
+    @property
+    def _config_path(self) -> str:
+        return os.path.join(self.root, "table_config.json")
 
     def _snapshot_path(self, version: int) -> str:
         return os.path.join(self.root, "snapshots", f"v{version:08d}.json")
@@ -570,10 +575,27 @@ class LakeTable:
         lsn_col: str = "last_lsn",
         num_buckets: int = 16,
         added_lsn: dict[int, int] | None = None,
+        bloom_cols: list[str] | dict[str, int] | None = None,
     ) -> "LakeTable":
+        """``bloom_cols`` opts named columns into parquet-native bloom
+        filters on every data-file write (a list, or a dict mapping column →
+        expected per-file distinct values to size the filter). Point/IN
+        predicates on high-cardinality columns (commit hashes) then skip row
+        groups EXECUTOR-side during the scan — the layer below manifest
+        min/max file skipping (lake/scan.py), which cannot prune a column
+        whose per-file range spans the whole domain. Stored in
+        ``table_config.json``; every writer (merge, compaction, DML rewrite,
+        z-order) applies it."""
         os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
         table = cls(spark, root)
+        if bloom_cols:
+            unknown = [
+                c for c in bloom_cols if c not in {f.name for f in schema.fields}
+            ]
+            if unknown:
+                raise ValueError(f"unknown bloom columns: {unknown}")
+            _atomic_write_json(table._config_path, {"bloom_cols": bloom_cols})
         snap = Snapshot(
             version=0,
             parent=None,
@@ -593,6 +615,40 @@ class LakeTable:
 
     def exists(self) -> bool:
         return os.path.exists(self._pointer_path)
+
+    # expected per-file distinct values when bloom_cols gives only a name;
+    # parquet-mr sizes the filter at ~13 bits/value for its default 1% fpp
+    _BLOOM_DEFAULT_NDV = 50_000
+
+    def table_config(self) -> dict:
+        """Table-level (cross-snapshot) properties from ``table_config.json``
+        — immutable writer policy like bloom columns, read once per handle.
+        Distinct from snapshots on purpose: these never change per commit,
+        so they don't belong in the versioned manifest chain."""
+        if self._config_cache is None:
+            try:
+                with open(self._config_path) as fh:
+                    self._config_cache = json.load(fh)
+            except FileNotFoundError:
+                self._config_cache = {}
+        return self._config_cache
+
+    def _parquet_write_options(self, columns) -> dict[str, str]:
+        """Per-write parquet options from the table config: bloom filters
+        for every configured column present in this write's schema. Columns
+        renamed since CREATE simply stop matching (bloom lapses until the
+        config is updated) — never an error, never a wrong result, because
+        blooms only ever *skip* row groups the scan proves irrelevant."""
+        bloom = self.table_config().get("bloom_cols") or {}
+        if isinstance(bloom, list):
+            bloom = {c: self._BLOOM_DEFAULT_NDV for c in bloom}
+        opts: dict[str, str] = {}
+        cols = set(columns)
+        for col, ndv in bloom.items():
+            if col in cols:
+                opts[f"parquet.bloom.filter.enabled#{col}"] = "true"
+                opts[f"parquet.bloom.filter.expected.ndv#{col}"] = str(int(ndv))
+        return opts
 
     def current(self) -> Snapshot:
         """The committed snapshot. The exclusive CREATE of the snapshot
@@ -1438,6 +1494,7 @@ class LakeTable:
             # (point lookups) skip row groups inside each bucket file
             .sortWithinPartitions("__bucket", *keys)
             .write.mode("overwrite")
+            .options(**self._parquet_write_options(result.columns))
             .parquet(out_dir)
         )
 
