@@ -64,3 +64,24 @@ def test_bloom_rejects_unknown_column(spark, tmp_path):
 
     with pytest.raises(ValueError):
         seed(spark, str(tmp_path / "bad"), bloom_cols=["nope"])
+
+
+def test_write_options_reach_every_writer(spark, tmp_path):
+    # generic writer passthrough: the codec choice (zstd — the 100-TB
+    # storage/scan-I/O trade) applies to merge writes AND maintenance
+    # rewrites, proven from the parquet footers
+    import pyarrow.parquet as pq
+
+    eng = seed(spark, str(tmp_path / "z"),
+               write_options={"parquet.compression": "zstd"})
+
+    def codecs(snap):
+        out = set()
+        for f in snap.files:
+            md = pq.ParquetFile(f["path"]).metadata
+            out.add(md.row_group(0).column(0).compression)
+        return out
+
+    assert codecs(eng.table.current()) == {"ZSTD"}
+    assert codecs(compact(eng.table, target_files=1)) == {"ZSTD"}
+    assert eng.table.read().count() == 200

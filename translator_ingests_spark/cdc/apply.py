@@ -103,6 +103,7 @@ class CdcEngine:
         write_mode: str = "cow",
         partial_updates: bool = False,
         bloom_cols: list[str] | dict[str, int] | None = None,
+        write_options: dict[str, str] | None = None,
     ):
         self.spark = spark
         self.root = root
@@ -112,6 +113,7 @@ class CdcEngine:
         self.hot_sample_fraction = hot_sample_fraction
         self.salt_buckets = salt_buckets
         self._bloom_cols = bloom_cols
+        self._write_options = write_options
         # tombstone-retention policy: every K committed units, fold out
         # tombstones at or below the low watermark (safe: merge rejects
         # events at/below the watermark, so compacted deletes can't resurrect).
@@ -163,6 +165,7 @@ class CdcEngine:
                 lsn_col="last_lsn",
                 num_buckets=self.num_buckets,
                 bloom_cols=self._bloom_cols,
+                write_options=self._write_options,
             )
         os.makedirs(self._ckpt_dir, exist_ok=True)
 
