@@ -36,6 +36,11 @@ def main(argv: list[str] | None = None) -> int:
                         "commits delta files (O(batch) writes, read-time "
                         "LWW fold, folded back on the compaction cadence); "
                         "auto decides per batch from manifest row stats")
+    p.add_argument("--staged", action="store_true",
+                   help="write-audit-publish: commit units staged (invisible "
+                        "to readers); with --validate, publish on pass and "
+                        "roll back on failure — without it, publish later "
+                        "via maintenance_job.py publish")
     p.add_argument("--stream", action="store_true")
     p.add_argument("--checkpoint", default=None,
                    help="streaming checkpoint dir (required with --stream)")
@@ -49,7 +54,8 @@ def main(argv: list[str] | None = None) -> int:
 
     engine = CdcEngine(spark, args.table_root, num_buckets=args.buckets,
                        write_mode=args.write_mode,
-                       partial_updates=args.partial_updates)
+                       partial_updates=args.partial_updates,
+                       staged=args.staged)
 
     if args.stream:
         from translator_ingests_spark.streaming import CdcStream
@@ -71,7 +77,8 @@ def main(argv: list[str] | None = None) -> int:
 
     total = sum(m["metrics"]["events_in"] for m in manifests)
     print(json.dumps({"batches_committed": len(manifests), "events_applied": total,
-                      "snapshot": engine.table.current().version}))
+                      "snapshot": engine.table.head().version,
+                      "published": engine.table.current().version}))
 
     if args.validate:
         from translator_ingests_spark.cdc.validate import validate_engine_state
@@ -79,7 +86,13 @@ def main(argv: list[str] | None = None) -> int:
         report = validate_engine_state(engine)
         print(json.dumps({"validation": report}))
         if not report["passed"]:
+            if args.staged:
+                snap = engine.rollback_staged()
+                print(json.dumps({"rollback": snap.version}))
             return 1
+        if args.staged:
+            snap = engine.publish_staged()
+            print(json.dumps({"published": snap.version}))
     return 0
 
 

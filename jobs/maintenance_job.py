@@ -57,6 +57,8 @@ def main(argv: list[str] | None = None) -> int:
     zo.add_argument("--bits", type=int, default=8)
     exp = sub.add_parser("expire")
     exp.add_argument("--keep-last", type=int, default=2)
+    sub.add_parser("publish")   # write-audit-publish: make staged visible
+    sub.add_parser("rollback")  # discard the staged suffix
     dw = sub.add_parser("delete-where")
     dw.add_argument("--predicate", default=None)
     dw.add_argument("--preds", default=None,
@@ -121,6 +123,14 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "expire":
         res = maintenance.expire_snapshots(table, keep_last=args.keep_last)
         out.update(version=table.current().version, **res)
+    elif args.cmd in ("publish", "rollback"):
+        from translator_ingests_spark.lake import wap
+
+        n_staged = len(wap.staged_versions(table))
+        snap = (wap.publish_staged(table) if args.cmd == "publish"
+                else wap.rollback_staged(table))
+        out.update(version=snap.version, operation=snap.operation,
+                   staged_resolved=n_staged)
     elif args.cmd in ("delete-where", "update-where"):
         from translator_ingests_spark.lake.dml import delete_where, update_where
 

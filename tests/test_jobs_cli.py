@@ -61,6 +61,24 @@ def test_maintenance_job_roundtrip(spark, tmp_path, capsys):
     assert out["snapshots_removed"] >= 0
 
 
+def test_apply_job_staged_validate_publishes(spark, tmp_path, capsys):
+    from jobs.apply_log_job import main as apply_main
+    from translator_ingests_spark.lake.table import LakeTable
+
+    root = str(tmp_path / "aj")
+    rc = apply_main(["--events", "1000", "--table-root", root,
+                     "--batches", "2", "--buckets", "4",
+                     "--staged", "--validate"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert '"published"' in out
+    t = LakeTable(spark, root + "/lake")
+    # validation passed → staged units were published, nothing left staged
+    assert t.current().version == t.head().version
+    assert not t.is_staged(t.head().version)
+    assert t.read().count() > 0
+
+
 def test_maintenance_job_requires_some_predicate(spark, tmp_path, capsys):
     seed(spark, tmp_path)
     with pytest.raises(SystemExit):

@@ -104,6 +104,7 @@ class CdcEngine:
         partial_updates: bool = False,
         bloom_cols: list[str] | dict[str, int] | None = None,
         write_options: dict[str, str] | None = None,
+        staged: bool = False,
     ):
         self.spark = spark
         self.root = root
@@ -148,6 +149,10 @@ class CdcEngine:
         self.partial_updates = partial_updates
         self.code_hash = compute_code_hash()
         self.table = LakeTable(spark, os.path.join(root, "lake"))
+        # write-audit-publish: commits stage behind a marker until
+        # lake/wap.py publishes — readers keep serving the last published
+        # state while this engine stacks units on the staged chain
+        self.table.staged_writes = staged
         self._ckpt_dir = os.path.join(root, "ckpt")
         # delivery order of the current apply run — recorded per manifest so
         # the validation job knows whether per-partition offset *ranges* are
@@ -170,7 +175,39 @@ class CdcEngine:
         os.makedirs(self._ckpt_dir, exist_ok=True)
 
     def final_state(self) -> DataFrame:
+        """What THIS engine has applied: in staged mode that is the staged
+        head (the audit's view — validation must judge the data it would
+        publish), otherwise the published current."""
+        if self.table.staged_writes:
+            from translator_ingests_spark.lake import wap
+
+            return wap.read_staged(self.table)
         return self.table.read()
+
+    # -- write-audit-publish --------------------------------------------------
+    def publish_staged(self):
+        """Make every staged unit visible to readers (lake/wap.py)."""
+        from translator_ingests_spark.lake import wap
+
+        return wap.publish_staged(self.table)
+
+    def rollback_staged(self):
+        """Discard the staged units AND their checkpoint manifests. The
+        manifests matter: they record the rejected units' applied-LSN
+        ranges, and leaving them would make the engine classify the
+        corrected re-delivery of that log range as an already-applied
+        replay. After the rollback both the lake guard (last_batch_id) and
+        the checkpoint history describe exactly the published state."""
+        import glob as _glob
+
+        from translator_ingests_spark.lake import wap
+
+        snap = wap.rollback_staged(self.table)
+        for p in _glob.glob(os.path.join(self._ckpt_dir, "batch-*.json")):
+            uid = int(os.path.basename(p)[len("batch-"):-len(".json")])
+            if uid > snap.last_batch_id:
+                os.remove(p)
+        return snap
 
     # -- the loop -------------------------------------------------------------
     def apply_log(
@@ -246,7 +283,7 @@ class CdcEngine:
         # thread-CPU inflation at 8 cores on 48M events. The bucket set now
         # derives from the per-batch winners table and schema events from the
         # pushed-down filter scan below.)
-        snap0 = self.table.current()
+        snap0 = self.table.head()
         meta_aggs = [
             F.count(F.lit(1)).alias("events_in"),
             F.count(F.when(is_valid, 1)).alias("rows"),
@@ -334,7 +371,7 @@ class CdcEngine:
         base_unit = 0
         if min_lsn is not None and prev_max is not None:
             if min_lsn > prev_max:
-                base_unit = self.table.current().last_batch_id + 1
+                base_unit = self.table.head().last_batch_id + 1
             elif max_lsn is not None and max_lsn > prev_max:
                 # Mixed old/new log: LSNs at or below prev_max alongside new
                 # ones (e.g. boundary redelivery of the last acked event plus
@@ -353,11 +390,11 @@ class CdcEngine:
                     "original batching from the full log.",
                     stacklevel=2,
                 )
-                base_unit = self.table.current().last_batch_id + 1
+                base_unit = self.table.head().last_batch_id + 1
         elif (
             min_lsn is not None
             and prev_max is None
-            and self.table.current().last_batch_id >= 0
+            and self.table.head().last_batch_id >= 0
         ):
             # A non-empty table with no checkpoint manifests cannot tell a
             # replay from a tail — silently choosing replay (base_unit 0)
@@ -472,7 +509,7 @@ class CdcEngine:
         pre_buckets: list[int] | None = None,
         pre_buckets_nb: int | None = None,
     ) -> dict | None:
-        snap = self.table.current()
+        snap = self.table.head()
         if (
             pre_buckets is not None
             and pre_buckets_nb is not None

@@ -118,7 +118,7 @@ def delete_where(
         cond = scan.predicates_condition(preds)
     elif preds:
         cond = cond & scan.predicates_condition(preds)
-    snap = table.current()
+    snap = table.head()
     rewrite = _closure(table, snap, _matching_files(table, snap, cond, preds))
     if not rewrite:
         return snap
@@ -181,7 +181,7 @@ def update_where(
         cond = scan.predicates_condition(preds)
     elif preds:
         cond = cond & scan.predicates_condition(preds)
-    snap = table.current()
+    snap = table.head()
     illegal = set(assignments) & ({*snap.key_cols, snap.lsn_col})
     if illegal:
         raise ValueError(f"cannot update key/lsn columns: {sorted(illegal)}")

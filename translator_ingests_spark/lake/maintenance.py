@@ -29,7 +29,13 @@ def expire_snapshots(table: LakeTable, keep_last: int = 2) -> dict:
 
     history = table.history()
     keep = set(history[-keep_last:])
-    keep.add(table.current().version)
+    # the whole staged chain head→published is load-bearing: current()'s
+    # marker walk reads every snapshot on it, and publish may land any prefix
+    snap = table.head()
+    keep.add(snap.version)
+    while snap.parent is not None and table.is_staged(snap.version):
+        snap = table.snapshot_at(snap.parent)
+        keep.add(snap.version)
     # tagged snapshots are load-bearing regardless of age (refs.py)
     keep.update(list_tags(table).values())
     if len(history) <= len(keep):
@@ -67,6 +73,10 @@ def expire_snapshots(table: LakeTable, keep_last: int = 2) -> dict:
     for v in history:
         if v not in keep:
             os.remove(table._snapshot_path(v))
+            try:  # stale marker of an expired version (normally never staged)
+                os.remove(table._staged_marker_path(v))
+            except FileNotFoundError:
+                pass
             removed_snaps += 1
     return {
         "snapshots_removed": removed_snaps,
@@ -196,7 +206,7 @@ def compact(table: LakeTable, target_files: int | None = None,
     This is the EXPLICIT maintenance entry point (one-shot table rebuild);
     the steady-state auto-compact cadence uses :func:`compact_incremental`,
     which rewrites only fragmented buckets."""
-    snap = table.current()
+    snap = table.head()
     n = target_files or max(1, snap.num_buckets // 4)
     return _rewrite_files(
         table, snap, rewrite=list(snap.files), keep=[],
@@ -229,7 +239,7 @@ def rebucket(
     bucket masks assume the bucket count they were derived under (the apply
     loop itself re-validates per unit; an external racer loses the commit
     fence)."""
-    snap = table.current()
+    snap = table.head()
     if new_num_buckets == snap.num_buckets:
         return snap
     if new_num_buckets < 1:
@@ -259,7 +269,7 @@ def cluster_by(
     merge re-sorts only the buckets it touches (by key), so clustering
     degrades gradually under writes rather than breaking anything.
     Merge-on-read deltas fold in (NET state is what gets clustered)."""
-    snap = table.current()
+    snap = table.head()
     unknown = [c for c in cols if c not in snap.schema.names()]
     if unknown:
         raise ValueError(f"unknown cluster columns: {unknown}")
@@ -315,7 +325,7 @@ def z_order_by(
     Same operational envelope as :func:`cluster_by`: whole-table rewrite,
     run rarely, degrades gradually under subsequent key-sorted merges;
     deltas fold in, z-values never hit disk (dropped pre-write)."""
-    snap = table.current()
+    snap = table.head()
     unknown = [c for c in cols if c not in snap.schema.names()]
     if unknown:
         raise ValueError(f"unknown z-order columns: {unknown}")
@@ -425,7 +435,7 @@ def compact_incremental(
     files is what bounds MOR read amplification), and a selection that
     touches any delta expands to its bucket-overlap closure so the fold
     sees every row of every key it rewrites."""
-    snap = table.current()
+    snap = table.head()
     rewrite = tombstone_files(snap)
     deltas = [f for f in snap.files if f.get("delta")]
     if deltas:

@@ -38,6 +38,7 @@ _SNAPSHOTS_SCHEMA = T.StructType([
     T.StructField("total_rows", T.LongType()),
     T.StructField("low_watermark", T.LongType()),
     T.StructField("is_current", T.BooleanType()),
+    T.StructField("is_staged", T.BooleanType()),
     T.StructField("tags", T.ArrayType(T.StringType())),
 ])
 
@@ -94,6 +95,7 @@ def snapshots_table(table: LakeTable) -> DataFrame:
                 snap_rows,
                 raw.get("low_watermark", -1),
                 v == current,
+                table.is_staged(v),
                 by_version_tags.get(v, []),
             )
         )

@@ -89,8 +89,11 @@ def write_graph_metadata(table: LakeTable, out_path: str) -> dict:
     """Compute and atomically publish the stats artifact for the CURRENT
     snapshot. All heavy lifting is two aggregation jobs whose results are
     O(langs + prefixes) — never O(rows) — so the driver-side JSON stays tiny."""
-    snap = table.current()
-    state = table.read()
+    # head(), not current(): under write-audit-publish the stats artifact is
+    # part of the audit, so it must describe the state that WOULD be
+    # published — version label and data both from the same snapshot
+    snap = table.head()
+    state = table._visible(table._net_raw(snap, snap.files), snap)
     totals_row = state.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("repo").alias("n_repos"),

@@ -530,6 +530,9 @@ class LakeTable:
         self.spark = spark
         self.root = root
         self._config_cache: dict | None = None
+        # write-audit-publish mode: commits from this handle carry a staged
+        # marker — invisible to current()/read() until lake/wap.py publishes
+        self.staged_writes = False
 
     # -- locations ---------------------------------------------------------
     @property
@@ -539,6 +542,9 @@ class LakeTable:
     @property
     def _config_path(self) -> str:
         return os.path.join(self.root, "table_config.json")
+
+    def _staged_marker_path(self, version: int) -> str:
+        return os.path.join(self.root, "snapshots", f"v{version:08d}.staged")
 
     def _snapshot_path(self, version: int) -> str:
         return os.path.join(self.root, "snapshots", f"v{version:08d}.json")
@@ -664,13 +670,15 @@ class LakeTable:
                 opts[f"parquet.bloom.filter.expected.ndv#{col}"] = str(int(ndv))
         return opts
 
-    def current(self) -> Snapshot:
-        """The committed snapshot. The exclusive CREATE of the snapshot
-        manifest is the commit point (see ``_commit_snapshot``); the pointer
-        is a convenience cache of max(version). A crash between the create
-        and the pointer swap leaves the pointer stale — heal it here by
-        taking the manifest directly above it when one exists (there can be
-        at most one: the fence admits a single writer per version)."""
+    def head(self) -> Snapshot:
+        """The latest COMMITTED snapshot, staged or published — the writer
+        plane's base (merges, schema evolution, maintenance all stack on the
+        staged chain). The exclusive CREATE of the snapshot manifest is the
+        commit point (see ``_commit_snapshot``); the pointer is a
+        convenience cache of max(version). A crash between the create and
+        the pointer swap leaves the pointer stale — heal it here by taking
+        the manifest directly above it when one exists (there can be at most
+        one: the fence admits a single writer per version)."""
         with open(self._pointer_path) as fh:
             version = json.load(fh)["version"]
         healed = version
@@ -688,6 +696,22 @@ class LakeTable:
             if healed > on_disk:
                 _atomic_write_json(self._pointer_path, {"version": healed})
         return self._snapshot_from_raw(self._raw_snapshot(healed))
+
+    def is_staged(self, version: int) -> bool:
+        return os.path.exists(self._staged_marker_path(version))
+
+    def current(self) -> Snapshot:
+        """The latest PUBLISHED snapshot — the reader plane. Write-audit-
+        publish (``staged_writes``) commits snapshots behind a staged marker;
+        readers walk past them to the newest marker-free ancestor, so a
+        half-audited batch train is never served. Publishing removes markers
+        oldest-first (lake/wap.py), keeping the published set a prefix of
+        the chain at every instant. Cost: O(staged-chain length) small JSON
+        reads, zero when nothing is staged (the common case)."""
+        snap = self.head()
+        while snap.parent is not None and self.is_staged(snap.version):
+            snap = self._snapshot_from_raw(self._raw_snapshot(snap.parent))
+        return snap
 
     def snapshot_at(self, version: int) -> Snapshot:
         return self._snapshot_from_raw(self._raw_snapshot(version))
@@ -780,7 +804,7 @@ class LakeTable:
         snaps = os.listdir(os.path.join(self.root, "snapshots"))
         return sorted(int(s[1:-5]) for s in snaps if s.endswith(".json"))
 
-    def _commit_snapshot(self, snap: Snapshot) -> None:
+    def _commit_snapshot(self, snap: Snapshot, staged: bool | None = None) -> None:
         # exclusive create = the commit fence (see _atomic_create_json): the
         # loser of a version race gets CommitConflictError before the
         # pointer moves. The pointer swap itself is a plain atomic replace —
@@ -791,7 +815,30 @@ class LakeTable:
         payload = snap.to_json()
         payload["segments"] = self._write_segments(snap)
         del payload["files"]
-        _atomic_create_json(self._snapshot_path(snap.version), payload)
+        staged = self.staged_writes if staged is None else staged
+        if staged and snap.version > 0:
+            # marker BEFORE the fence: the instant the snapshot becomes
+            # visible it is already staged. A fence loser removes its
+            # orphaned marker below so it cannot shadow the winner's commit.
+            _atomic_write_json(
+                self._staged_marker_path(snap.version), {"staged": True}
+            )
+        try:
+            _atomic_create_json(self._snapshot_path(snap.version), payload)
+        except CommitConflictError:
+            if staged and snap.version > 0:
+                try:
+                    os.remove(self._staged_marker_path(snap.version))
+                except FileNotFoundError:
+                    pass
+            raise
+        if not staged:
+            # a published commit clears any marker a crashed/conflicting
+            # staged writer may have left for this version number
+            try:
+                os.remove(self._staged_marker_path(snap.version))
+            except FileNotFoundError:
+                pass
         _atomic_write_json(self._pointer_path, {"version": snap.version})
 
     # -- read ---------------------------------------------------------------
@@ -1119,7 +1166,7 @@ class LakeTable:
         ``at_lsn`` (add_column): LSN of the change event — events with lower
         LSNs never populate the column even if delivered late.
         """
-        snap = self.current()
+        snap = self.head()  # writer plane: stack on the staged chain
         schema = snap.schema
         fields = list(schema.fields)
         names = {f.name: f for f in fields}
@@ -1269,7 +1316,7 @@ class LakeTable:
                 "partial_update requires mode='cow': the MOR read fold is "
                 "whole-row and cannot coalesce unset columns per key"
             )
-        snap = self.current()
+        snap = self.head()  # writer plane: stack on the staged chain
         if batch_id <= snap.last_batch_id:
             return snap  # already applied — exactly-once replay guard
 
