@@ -25,6 +25,7 @@ import hashlib
 import json
 import os
 import time
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -209,6 +210,33 @@ class CdcEngine:
                 os.remove(p)
         return snap
 
+    def _merge_with_retry(self, source, **kwargs):
+        """The unit's MERGE with concurrent-writer recovery. Disjoint
+        concurrent commits (a maintenance job compacting buckets this batch
+        does not touch, a metadata-only schema/tag commit) rebase inside
+        ``LakeTable.commit_rebase`` without reaching here. What does reach
+        here is an OVERLAPPING race — an external OPTIMIZE rewrote a bucket
+        this merge also rewrote — where the merge's output files are stale
+        by construction: re-running the merge recomputes against the new
+        head (it re-reads ``head()`` at entry; its source DataFrame is
+        lazily re-evaluated). Bounded retries: a third consecutive overlap
+        means something is compacting the hot buckets on every batch —
+        surface it instead of spinning."""
+        from translator_ingests_spark.lake.table import ConcurrentModificationError
+
+        last_err: Exception | None = None
+        for _ in range(3):
+            try:
+                return self.table.merge(source, **kwargs)
+            except ConcurrentModificationError as err:
+                last_err = err
+                warnings.warn(
+                    f"merge lost an overlapping-file commit race ({err}); "
+                    "recomputing the unit against the new head",
+                    stacklevel=2,
+                )
+        raise last_err
+
     # -- the loop -------------------------------------------------------------
     def apply_log(
         self,
@@ -380,8 +408,6 @@ class CdcEngine:
                 # treat it as a tail — redelivered old events are harmless
                 # because the LWW merge is idempotent on lsn <= applied —
                 # and warn that the call sits outside the strict contract.
-                import warnings
-
                 warnings.warn(
                     "apply(): log mixes already-applied LSNs (min "
                     f"{min_lsn} <= applied max {prev_max}) with new ones "
@@ -664,7 +690,7 @@ class CdcEngine:
                 "hot_keys_salted": 0,
             }
             merge_stats: dict = {}
-            new_snap = self.table.merge(
+            new_snap = self._merge_with_retry(
                 source,
                 batch_id=unit_id,
                 lineage=lineage,

@@ -20,11 +20,24 @@ from translator_ingests_spark.lake.table import (
 )
 
 
-def expire_snapshots(table: LakeTable, keep_last: int = 2) -> dict:
+def expire_snapshots(
+    table: LakeTable, keep_last: int = 2, orphan_grace_s: float = 3600.0
+) -> dict:
     """Drop all but the newest ``keep_last`` snapshots and delete data files
     referenced by no retained snapshot. The current pointer is never
     touched; deletion order (files before manifests) keeps every retained
-    snapshot readable at all times."""
+    snapshot readable at all times.
+
+    Unreferenced files fall in two classes with different proof obligations:
+    files referenced by an EXPIRED snapshot are known garbage (their only
+    readers were the snapshots being dropped — deleted immediately), while
+    files referenced by NO snapshot at all may belong to an IN-FLIGHT
+    writer that has written its data but not yet won the commit fence —
+    deleting those would corrupt the winner's commit from under it. True
+    orphans (fence losers, crashed writers) are only deleted once older
+    than ``orphan_grace_s`` (Iceberg's remove-orphan-files age gate)."""
+    import time as _time
+
     from translator_ingests_spark.lake.refs import list_tags
 
     history = table.history()
@@ -48,25 +61,67 @@ def expire_snapshots(table: LakeTable, keep_last: int = 2) -> dict:
         live.update(table.localize_path(f["path"]) for f in snap.files)
         for ref in snap.segments or []:
             live_segs.add(ref["name"])
+    # known garbage: referenced ONLY by snapshots this call expires
+    expired_refs: set[str] = set()
+    expired_segs: set[str] = set()
+    for v in history:
+        if v not in keep:
+            snap = table.snapshot_at(v)
+            expired_refs.update(
+                table.localize_path(f["path"]) for f in snap.files
+            )
+            for ref in snap.segments or []:
+                expired_segs.add(ref["name"])
+    expired_refs -= live
+    expired_segs -= live_segs
+
+    now = _time.time()
+
+    def _expendable(path: str, known_garbage: bool) -> bool:
+        if known_garbage:
+            return True
+        try:  # referenced by nothing: maybe an in-flight writer — age-gate
+            return now - os.path.getmtime(path) > orphan_grace_s
+        except FileNotFoundError:
+            return False
 
     removed_files = 0
     data_root = os.path.join(table.root, "data")
     for dirpath, _dirs, files in os.walk(data_root):
         for fn in files:
             full = os.path.join(dirpath, fn)
-            if full.endswith(".parquet") and full not in live:
+            if (
+                full.endswith(".parquet")
+                and full not in live
+                and _expendable(full, full in expired_refs)
+            ):
                 os.remove(full)
                 removed_files += 1
+    # sweep commit directories the deletions emptied (cosmetic: reads go
+    # through manifest paths, but at a compaction cadence the dead dirs of
+    # uuid-suffixed write attempts would otherwise accumulate forever)
+    for dirpath, dirs, files in os.walk(data_root, topdown=False):
+        if dirpath != data_root and not dirs and not files:
+            try:
+                os.rmdir(dirpath)
+            except OSError:
+                pass
 
     # manifest segments referenced by no retained snapshot: expired
-    # versions' exclusive segments plus fence-loser orphans (immutable and
-    # content-addressed, so deleting an unreferenced one can break no reader)
+    # versions' exclusive segments immediately; unreferenced strays (a
+    # writer that has put its segments but not yet committed) age-gated
     removed_segs = 0
     mdir = table._manifest_dir
     if os.path.isdir(mdir):
         for fn in os.listdir(mdir):
-            if fn.startswith("seg-") and fn.endswith(".json") and fn not in live_segs:
-                os.remove(os.path.join(mdir, fn))
+            full = os.path.join(mdir, fn)
+            if (
+                fn.startswith("seg-")
+                and fn.endswith(".json")
+                and fn not in live_segs
+                and _expendable(full, fn in expired_segs)
+            ):
+                os.remove(full)
                 removed_segs += 1
 
     removed_snaps = 0
@@ -152,7 +207,7 @@ def _rewrite_files(
         .options(**table._parquet_write_options(df.columns))
         .parquet(out_dir)
     )
-    new_files = list(keep)
+    added_files = []
     for fn in sorted(os.listdir(out_dir)):
         if not fn.endswith(".parquet"):
             continue
@@ -160,9 +215,10 @@ def _rewrite_files(
         st = _file_stats_from_footer(path)
         if st is None:
             continue
-        new_files.append(
+        added_files.append(
             {"path": path, "schema_version": snap.schema_version, **st}
         )
+    new_files = list(keep) + added_files
     new_snap = Snapshot(
         version=new_version,
         parent=snap.version,
@@ -186,8 +242,21 @@ def _rewrite_files(
             else snap.tombstones_dropped_below
         ),
     )
-    table._commit_snapshot(new_snap)
-    return new_snap
+    if new_num_buckets is not None and new_num_buckets != snap.num_buckets:
+        # rebucket changes every file's bucket assignment — no concurrent
+        # commit is compatible with it; fail the fence loudly instead
+        table._commit_snapshot(new_snap)
+        return new_snap
+    # layout commit (compaction / clustering / DML rewrite): rebases over
+    # any concurrent commit that did not replace one of the files this
+    # rewrite read — the long-running-OPTIMIZE-vs-apply-loop case. A
+    # same-file race (the apply loop merged a bucket this rewrite also
+    # folded) raises ConcurrentModificationError: the rewrite output would
+    # resurrect pre-merge rows, so it must be recomputed, never spliced.
+    return table.commit_rebase(
+        new_snap, base=snap, added=added_files,
+        replaced_paths={f["path"] for f in rewrite},
+    )
 
 
 def compact(table: LakeTable, target_files: int | None = None,

@@ -40,7 +40,7 @@ import hashlib
 import json
 import os
 import uuid
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace as _dc_replace
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -489,7 +489,18 @@ class CommitConflictError(RuntimeError):
     The losing writer's work is NOT on the table; the caller must re-read
     the current snapshot, recompute against it and commit again (the
     standard optimistic-concurrency retry — Iceberg/Delta commit semantics).
+    ``LakeTable.commit_rebase`` automates the retry for operations whose
+    file-level changes are disjoint from the concurrent commits'.
     """
+
+
+class ConcurrentModificationError(RuntimeError):
+    """A concurrent commit invalidated this operation's base state in a way
+    that CANNOT be rebased: it replaced one of the files this operation also
+    rewrote, changed the bucket count, or owns the same metadata (two batch
+    merges, two schema changes). The operation's outputs are garbage; the
+    caller must recompute against the new head (for the apply loop that
+    means re-running the unit's merge — its inputs are still on the log)."""
 
 
 def _atomic_create_json(path: str, payload: dict) -> None:
@@ -557,7 +568,14 @@ class LakeTable:
         return os.path.join(self._manifest_dir, name)
 
     def _data_dir(self, version: int) -> str:
-        return os.path.join(self.root, "data", f"commit-{version:08d}")
+        # uuid suffix: two writers optimistically racing toward the same
+        # version number write to DISJOINT directories, so the fence loser's
+        # mode("overwrite") write can never clobber files the winner already
+        # committed — the loser's directory is inert garbage until GC. The
+        # version prefix is purely cosmetic (reads go through manifest paths).
+        return os.path.join(
+            self.root, "data", f"commit-{version:08d}-{uuid.uuid4().hex[:8]}"
+        )
 
     def localize_path(self, path: str) -> str:
         """Re-root a manifest data-file path onto this table's root. The
@@ -840,6 +858,110 @@ class LakeTable:
             except FileNotFoundError:
                 pass
         _atomic_write_json(self._pointer_path, {"version": snap.version})
+
+    def commit_rebase(
+        self,
+        new_snap: Snapshot,
+        base: Snapshot,
+        added: list[dict],
+        replaced_paths: set[str],
+        owns_batch: bool = False,
+        max_retries: int = 5,
+    ) -> Snapshot:
+        """Optimistic-concurrency commit with automatic rebase (the
+        Iceberg commit-retry model). ``new_snap`` was built against
+        ``base``; it removed ``replaced_paths`` from the manifest and added
+        the ``added`` file entries. On a fence conflict, re-read the head
+        and REBASE — splice the same file change onto the winner's manifest
+        and inherit every metadata field this operation does not own — iff
+        the concurrent commits are compatible:
+
+        - every replaced file must still be live in the head (a concurrent
+          commit that rewrote one of them already folded or replaced rows
+          this operation read — splicing would resurrect them);
+        - the bucket count must be unchanged (file bucket ranges and the
+          write layout assume it);
+        - if this operation changed the schema (``update_schema``), no
+          concurrent schema change may have landed (field-id / version
+          number assignment would collide);
+        - if this operation is a batch merge (``owns_batch``), no
+          concurrent commit may have advanced ``last_batch_id`` or the
+          retention watermark (two concurrent merges = two writers racing
+          the same exactly-once guard — serialize them upstream).
+
+        Incompatible → :class:`ConcurrentModificationError`; the operation
+        must be recomputed from the new head. This is what lets a
+        minutes-long OPTIMIZE land against a seconds-cadence apply loop
+        (disjoint buckets rebase instead of starving) while a same-bucket
+        race still fails loudly instead of corrupting state.
+        """
+        owns_schema = new_snap.schema_version != base.schema_version
+        attempt = new_snap
+        for _ in range(max_retries + 1):
+            try:
+                self._commit_snapshot(attempt)
+                return attempt
+            except CommitConflictError:
+                head = self.head()
+                if head.num_buckets != base.num_buckets:
+                    raise ConcurrentModificationError(
+                        "bucket count changed concurrently "
+                        f"({base.num_buckets} -> {head.num_buckets}); "
+                        "recompute against the new head"
+                    ) from None
+                if owns_schema and head.schema_version != base.schema_version:
+                    raise ConcurrentModificationError(
+                        "concurrent schema change landed; re-derive this "
+                        "schema change from the new head"
+                    ) from None
+                if owns_batch and (
+                    head.last_batch_id != base.last_batch_id
+                    or head.low_watermark != base.low_watermark
+                ):
+                    raise ConcurrentModificationError(
+                        "a concurrent batch commit advanced the exactly-once "
+                        "guard; re-run this unit's merge against the new head"
+                    ) from None
+                head_paths = {f["path"] for f in head.files}
+                missing = replaced_paths - head_paths
+                if missing:
+                    raise ConcurrentModificationError(
+                        f"{len(missing)} file(s) this operation rewrote were "
+                        "replaced by a concurrent commit (overlapping "
+                        "buckets); recompute against the new head"
+                    ) from None
+                attempt = _dc_replace(
+                    new_snap,
+                    version=head.version + 1,
+                    parent=head.version,
+                    files=[
+                        f for f in head.files if f["path"] not in replaced_paths
+                    ] + list(added),
+                    # fields this operation does not own follow the head
+                    schemas=new_snap.schemas if owns_schema else head.schemas,
+                    schema_version=(
+                        new_snap.schema_version if owns_schema
+                        else head.schema_version
+                    ),
+                    added_lsn=(
+                        new_snap.added_lsn if owns_schema else head.added_lsn
+                    ),
+                    last_batch_id=(
+                        new_snap.last_batch_id if owns_batch
+                        else head.last_batch_id
+                    ),
+                    low_watermark=max(
+                        new_snap.low_watermark, head.low_watermark
+                    ),
+                    tombstones_dropped_below=max(
+                        new_snap.tombstones_dropped_below,
+                        head.tombstones_dropped_below,
+                    ),
+                )
+        raise ConcurrentModificationError(
+            f"commit lost the fence {max_retries + 1} times in a row; "
+            "the table is under very heavy concurrent write load"
+        )
 
     # -- read ---------------------------------------------------------------
     def _bucket_expr(self, num_buckets: int, key_cols: list[str]):
@@ -1247,8 +1369,13 @@ class LakeTable:
             operation="schema",
             tombstones_dropped_below=snap.tombstones_dropped_below,
         )
-        self._commit_snapshot(new_snap)
-        return new_snap
+        # metadata-only commit: rebases over ANY concurrent data commit
+        # (replaced set is empty — the schema change rides the new head's
+        # file list); only a concurrent schema change conflicts (field-id /
+        # version-number assignment above was derived from the old head)
+        return self.commit_rebase(
+            new_snap, base=snap, added=[], replaced_paths=set()
+        )
 
     # -- merge (the CDC upsert) ----------------------------------------------
     def merge(
@@ -1587,7 +1714,7 @@ class LakeTable:
 
         # manifest plane: record each written file with its bucket range
         # (parquet footer stats — metadata-only, fetched concurrently)
-        new_files = list(untouched_files)
+        added_files: list[dict] = []
         if os.path.isdir(out_dir):
             paths = [
                 os.path.join(out_dir, fn)
@@ -1608,7 +1735,8 @@ class LakeTable:
                 }
                 if delta:
                     entry["delta"] = True
-                new_files.append(entry)
+                added_files.append(entry)
+        new_files = list(untouched_files) + added_files
 
         new_snap = Snapshot(
             version=new_version,
@@ -1633,5 +1761,15 @@ class LakeTable:
             delivery=delivery,
             tombstones_dropped_below=snap.tombstones_dropped_below,
         )
-        self._commit_snapshot(new_snap)
-        return new_snap
+        # a concurrent LAYOUT commit (compaction / clustering / DML) on
+        # disjoint files rebases under the merge; a concurrent MERGE (which
+        # would race the same exactly-once guard) or an overlapping-bucket
+        # rewrite raises ConcurrentModificationError — the apply loop
+        # recomputes the unit against the new head (cdc/apply.py)
+        replaced = {f["path"] for f in snap.files} - {
+            f["path"] for f in untouched_files
+        }
+        return self.commit_rebase(
+            new_snap, base=snap, added=added_files, replaced_paths=replaced,
+            owns_batch=True,
+        )
