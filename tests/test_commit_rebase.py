@@ -277,3 +277,57 @@ def test_expire_age_gates_unreferenced_files(spark, tmp_path):
     assert res["files_removed"] >= 1
     # the table is still fully readable
     assert t.read().count() == 26
+
+
+# -- engine-level recovery across a multi-batch replay ------------------------
+
+
+def test_replay_with_compaction_landing_mid_merge(spark, tmp_path, monkeypatch):
+    """Every unit's merge loses its first fence attempt to a full-table
+    compaction committed through an independent maintenance handle while
+    the merge job is in flight (the worst case: a full rewrite overlaps
+    every merge, so nothing can splice — the engine must recompute each
+    unit). Final state must equal a clean sequential replay."""
+    events = [
+        ev(i, op, f"r{i % 7}", f"p{i % 40}", f"v{i}")
+        for i, op in ((j, "delete" if j % 11 == 10 else "update")
+                      for j in range(160))
+    ]
+    df = spark.createDataFrame(events, EVENT_SCHEMA)
+
+    eng = CdcEngine(spark, str(tmp_path / "raced"), num_buckets=8,
+                    auto_compact_every=None)
+    t2 = LakeTable(spark, eng.table.root)
+    orig = eng.table._commit_snapshot
+    state = {"armed": False, "compactions": 0}
+
+    def racy(snap, staged=None):
+        if state["armed"] and snap.operation == "merge":
+            state["armed"] = False
+            try:
+                maintenance.compact(t2, target_files=2)
+                state["compactions"] += 1
+            except ConcurrentModificationError:
+                pass
+        return orig(snap, staged)
+
+    monkeypatch.setattr(eng.table, "_commit_snapshot", racy)
+    manifests = []
+    for unit in range(4):
+        state["armed"] = unit > 0  # first unit creates the table unraced
+        lo, hi = unit * 40, (unit + 1) * 40
+        part = df.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi))
+        manifests += eng.apply_log(part, n_batches=1, total_events=40)
+
+    assert len(manifests) == 4
+    assert state["compactions"] == 3  # every armed race really landed
+
+    ref = CdcEngine(spark, str(tmp_path / "clean"), num_buckets=8,
+                    auto_compact_every=None)
+    ref.apply_log(df, n_batches=4, total_events=160)
+
+    got = {(r["repo"], r["path"]): (r["content"], r["last_lsn"])
+           for r in eng.final_state().collect()}
+    want = {(r["repo"], r["path"]): (r["content"], r["last_lsn"])
+            for r in ref.final_state().collect()}
+    assert got == want
