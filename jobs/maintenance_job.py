@@ -57,6 +57,9 @@ def main(argv: list[str] | None = None) -> int:
     zo.add_argument("--bits", type=int, default=8)
     exp = sub.add_parser("expire")
     exp.add_argument("--keep-last", type=int, default=2)
+    exp.add_argument("--orphan-grace", type=float, default=3600.0,
+                     help="seconds an UNREFERENCED file must be old before "
+                          "GC may assume it is not an in-flight writer's")
     sub.add_parser("publish")   # write-audit-publish: make staged visible
     sub.add_parser("rollback")  # discard the staged suffix
     dw = sub.add_parser("delete-where")
@@ -121,7 +124,9 @@ def main(argv: list[str] | None = None) -> int:
         )
         out.update(version=snap.version, operation=snap.operation)
     elif args.cmd == "expire":
-        res = maintenance.expire_snapshots(table, keep_last=args.keep_last)
+        res = maintenance.expire_snapshots(
+            table, keep_last=args.keep_last, orphan_grace_s=args.orphan_grace
+        )
         out.update(version=table.current().version, **res)
     elif args.cmd in ("publish", "rollback"):
         from translator_ingests_spark.lake import wap

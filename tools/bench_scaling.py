@@ -208,6 +208,20 @@ def main():
                   "4N": f"local[{4 * c}] pinned to {4 * c} CPUs"}
         pins = {"N": c, "4N": 4 * c}
 
+    # measurement-environment health (tools/probe_membw.py): on this
+    # multi-tenant VM both the DRAM-bandwidth share and effective CPU speed
+    # drift with neighbor load — stamp the window so a depressed efficiency
+    # number is attributable to the environment, not the engine
+    sys.path.insert(0, REPO)
+    from tools.probe_membw import probe as env_probe
+
+    env0 = env_probe(quick=True)
+    print(f"env: DRAM {env0['membw_aggregate_gbps_2p']}->"
+          f"{env0['membw_aggregate_gbps_8p']} GB/s (2p->8p, scaling "
+          f"{env0['membw_scaling_2_to_8']}), cpu scaling "
+          f"{env0['cpu_scaling_2_to_8']}"
+          + (" — WINDOW IS BANDWIDTH-BOUND" if env0["bandwidth_bound"] else ""))
+
     # interleave levels (N, 4N, N, 4N, ...) and keep each level's best —
     # this host is multi-tenant and drifts, so block ordering would bias
     levels: dict = {}
@@ -272,6 +286,20 @@ levels interleaved.
   contention at 4N (no memory-bus or GC collapse), so lost efficiency is
   idle time (scheduling gaps + per-batch fixed cost), which amortizes with
   batch size.
+
+## Measurement environment (tools/probe_membw.py, same window)
+
+This is a multi-tenant VM: the DRAM-bandwidth share and effective per-core
+speed drift with neighbor load, so the run is stamped with the window's
+measured ceilings. `membw scaling` 1.0 = bandwidth quadruples 2p→8p
+(unconstrained); below ~0.6 memory-heavy JVM stages cannot scale in this
+window regardless of plan quality.
+
+- DRAM aggregate: {env0['membw_aggregate_gbps_2p']} GB/s @2p →
+  {env0['membw_aggregate_gbps_8p']} GB/s @8p (scaling
+  {env0['membw_scaling_2_to_8']}{', **window bandwidth-bound — efficiency below understates the engine**' if env0['bandwidth_bound'] else ''})
+- per-core CPU (cache-resident sha256): {env0['cpu_percore_mhash_2p']} →
+  {env0['cpu_percore_mhash_8p']} Mhash/s (scaling {env0['cpu_scaling_2_to_8']})
 """)
     print(f"wrote BENCH/{out_name}")
 
