@@ -165,3 +165,43 @@ def test_staged_marker_removed_on_fence_loss(spark, tmp_path):
         eng.table._commit_snapshot(loser, staged=True)
     assert not eng.table.is_staged(racer.version)
     assert eng.table.current().version == racer.version
+
+
+def test_rollback_recomputes_over_racing_staged_commit(spark, tmp_path, monkeypatch):
+    """A staged writer extends the chain between a rollback's head read and
+    its fence attempt. The rollback must NOT rebase (its content IS the
+    published file list) — it recomputes from the fresh head, so the revert
+    also discards the racer's unit, which stacked on rejected state."""
+    eng = CdcEngine(spark, str(tmp_path / "t"), num_buckets=4,
+                    auto_compact_every=None)
+    eng.apply_log(events(spark, range(4)), events_per_batch=100)
+    pub_v = eng.table.current().version
+    want = sorted(r["path"] for r in eng.table.read().collect())
+
+    eng.table.staged_writes = True
+    eng.apply_log(events(spark, range(4, 6)), events_per_batch=100)
+    assert len(wap.staged_versions(eng.table)) == 1
+
+    orig = eng.table._commit_snapshot
+    fired = {}
+
+    def racy(snap, staged=None):
+        if not fired:
+            fired["x"] = True
+            racer = CdcEngine(spark, eng.root, num_buckets=4,
+                              auto_compact_every=None, staged=True)
+            racer.apply_log(events(spark, range(6, 8)), n_batches=1)
+        return orig(snap, staged)
+
+    monkeypatch.setattr(eng.table, "_commit_snapshot", racy)
+    snap = eng.rollback_staged()
+
+    assert snap.operation == "rollback" and not eng.table.is_staged(snap.version)
+    assert eng.table.current().version == snap.version == eng.table.head().version
+    # BOTH staged units (ours and the racer's) are gone from the content
+    assert sorted(r["path"] for r in eng.table.read().collect()) == want
+    assert snap.last_batch_id == eng.table.snapshot_at(pub_v).last_batch_id
+    # corrected data re-applies exactly-once after the revert
+    eng.table.staged_writes = False
+    eng.apply_log(events(spark, range(4, 8)), n_batches=1)
+    assert eng.table.read().count() == 8

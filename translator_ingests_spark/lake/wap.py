@@ -83,19 +83,32 @@ def rollback_staged(table: LakeTable) -> Snapshot:
     ``head()`` lands on the rollback, so the next batch re-derives
     ``last_batch_id`` from the reverted value and the corrected data can
     re-apply under the same unit ids. No-op when nothing is staged."""
-    head = table.head()
-    pub = table.current()
-    if head.version == pub.version:
-        return pub
-    new_snap = replace(
-        pub,
-        version=head.version + 1,
-        parent=head.version,
-        batch_id=None,
-        files=list(pub.files),
-        lineage={},
-        metrics={},
-        operation="rollback",
-    )
-    table._commit_snapshot(new_snap, staged=False)
-    return new_snap
+    from translator_ingests_spark.lake.table import CommitConflictError
+
+    last_err: Exception | None = None
+    for _ in range(5):
+        head = table.head()
+        pub = table.current()
+        if head.version == pub.version:
+            return pub
+        new_snap = replace(
+            pub,
+            version=head.version + 1,
+            parent=head.version,
+            batch_id=None,
+            files=list(pub.files),
+            lineage={},
+            metrics={},
+            operation="rollback",
+        )
+        try:
+            table._commit_snapshot(new_snap, staged=False)
+            return new_snap
+        except CommitConflictError as err:
+            # a racing staged writer extended the chain mid-rollback. A
+            # rebase would be WRONG here (the rollback's entire content is
+            # "the published file list", not a splice onto the new head) —
+            # recompute from the fresh head so the revert also covers the
+            # racer's unit, which stacked on state this call is discarding.
+            last_err = err
+    raise last_err
