@@ -188,7 +188,7 @@ def update_where(
     unknown = set(assignments) - set(snap.schema.names())
     if unknown:
         raise ValueError(f"unknown columns: {sorted(unknown)}")
-    rewrite = _closure(table, snap, _matching_files(table, snap, cond))
+    rewrite = _closure(table, snap, _matching_files(table, snap, cond, preds))
     if not rewrite:
         return snap
     keep_paths = {f["path"] for f in rewrite}
