@@ -167,15 +167,34 @@ def test_dml_preds_match_column_form(spark, tmp_path):
     assert rows(a.table.read()) == rows(b.table.read())
 
 
-def test_dml_probe_prunes_with_preds(spark, tmp_path):
+def test_dml_probe_prunes_with_preds(spark, tmp_path, monkeypatch):
     """The preds-pruned probe must land on the same files as the full probe
-    and the rewrite must splice untouched files through unrewritten."""
+    and the rewrite must splice untouched files through unrewritten — and
+    BOTH DML verbs must actually route preds into prune_files (a spy pins
+    the call: without it the probe regresses to an O(table) full scan with
+    every result-level assertion still green)."""
     eng = seed(spark, tmp_path)
     cluster_by(eng.table, ["lang"], target_files=3)
     before = {f["path"] for f in eng.table.current().files}
+    probe_sizes = []
+    real_prune = scan.prune_files
+
+    def spy(table, snap, preds):
+        out = real_prune(table, snap, preds)
+        probe_sizes.append((len(out), len(snap.files)))
+        return out
+
+    monkeypatch.setattr("translator_ingests_spark.lake.dml.scan.prune_files", spy)
     snap = delete_where(eng.table, None, at_lsn=1000,
                         preds=[("lang", "=", "l02")])
     assert snap.operation == "delete"
     assert before & {f["path"] for f in snap.files}  # untouched files kept
     assert eng.table.read().filter(F.col("lang") == "l02").count() == 0
     assert eng.table.read().count() == 16
+    update_where(eng.table, None, {"content": F.lit("x")}, at_lsn=2000,
+                 preds=[("lang", "=", "l01")])
+    assert {r["content"] for r in
+            eng.table.read().filter(F.col("lang") == "l01").collect()} == {"x"}
+    # one pruned probe per verb, each scanning fewer files than the table
+    assert len(probe_sizes) == 2
+    assert all(kept < total for kept, total in probe_sizes)
