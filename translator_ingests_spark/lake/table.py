@@ -40,6 +40,7 @@ import hashlib
 import json
 import os
 import uuid
+from collections import OrderedDict
 from dataclasses import dataclass, field, replace as _dc_replace
 
 from pyspark.sql import DataFrame, SparkSession
@@ -153,9 +154,30 @@ class LakeSchema:
 # snapshot size instead of O(files). Tests shrink it to exercise reuse.
 SEGMENT_MAX_FILES = 256
 
-# immutable content-addressed segments → a plain grow-only process cache is
-# safe (a name is never rewritten with different content)
-_SEGMENT_CACHE: dict[str, list[dict]] = {}
+# immutable content-addressed segments → caching is always safe (a name is
+# never rewritten with different content), but the cache must be BOUNDED: a
+# seconds-cadence apply loop writes 1-2 fresh segments per commit, and a
+# grow-only dict becomes a slow driver-heap leak over a day-long stream
+# (~230 KB/segment × tens of thousands of commits). LRU keeps the working
+# set (the current snapshot's segments + recent history) hot.
+_SEGMENT_CACHE_MAX = 4096  # ≈ one million-file table's full segment set
+
+
+class _SegmentCache(OrderedDict):
+    def get(self, key, default=None):
+        if key in self:
+            self.move_to_end(key)
+            return super().__getitem__(key)
+        return default
+
+    def __setitem__(self, key, value):
+        super().__setitem__(key, value)
+        self.move_to_end(key)
+        while len(self) > _SEGMENT_CACHE_MAX:
+            self.popitem(last=False)
+
+
+_SEGMENT_CACHE: dict[str, list[dict]] = _SegmentCache()
 
 
 def _segment_digest(files: list[dict]) -> str:
