@@ -1044,26 +1044,47 @@ class LakeTable:
             return out
         return self._visible(out, snap)
 
+    def _materialized_col(self, fld: LakeField, snap: Snapshot):
+        """The visible value of one schema field: for an evolution-added
+        column, rows applied before the add landed (out-of-order delivery)
+        carry the value only in ``__extras`` — coalesce it in, LSN-gated so
+        rows that semantically predate the column stay null."""
+        if fld.field_id not in snap.added_lsn:
+            return F.col(fld.name)
+        lookups = [
+            F.element_at(F.col(EXTRAS_COL), n)
+            for n in snap.name_history(fld.field_id)
+        ]
+        fallback = F.when(
+            F.col(snap.lsn_col) > F.lit(snap.added_lsn[fld.field_id]),
+            F.coalesce(*lookups) if len(lookups) > 1 else lookups[0],
+        ).cast(_SPARK_TYPES[fld.type])
+        return F.coalesce(F.col(fld.name), fallback).alias(fld.name)
+
+    def _materialize_extras(self, out: DataFrame, snap: Snapshot) -> DataFrame:
+        """Apply the extras materialization IN PLACE (implicit columns kept):
+        the projection :meth:`_visible` performs before hiding the implicit
+        columns. The change feed applies it too, so post/preimages of
+        evolution-added columns match what ``read()`` serves rather than the
+        raw (possibly null) stored cell."""
+        if not snap.added_lsn:
+            return out
+        by_name = {f.name: f for f in snap.schema.fields}
+        return out.select(
+            *[
+                self._materialized_col(by_name[c], snap) if c in by_name else F.col(c)
+                for c in out.columns
+            ]
+        )
+
     def _visible(self, out: DataFrame, snap: Snapshot) -> DataFrame:
         """Raw (net) rows → the user-visible projection: tombstones filtered,
         evolution-added columns materialized from __extras for rows written
         before the add_column was known, implicit columns hidden."""
         out = out.filter(~F.col(TOMBSTONE_COL))
-        proj = []
-        for fld in snap.schema.fields:
-            if fld.field_id in snap.added_lsn:
-                lookups = [
-                    F.element_at(F.col(EXTRAS_COL), n)
-                    for n in snap.name_history(fld.field_id)
-                ]
-                fallback = F.when(
-                    F.col(snap.lsn_col) > F.lit(snap.added_lsn[fld.field_id]),
-                    F.coalesce(*lookups) if len(lookups) > 1 else lookups[0],
-                ).cast(_SPARK_TYPES[fld.type])
-                proj.append(F.coalesce(F.col(fld.name), fallback).alias(fld.name))
-            else:
-                proj.append(F.col(fld.name))
-        return out.select(*proj)
+        return out.select(
+            *[self._materialized_col(fld, snap) for fld in snap.schema.fields]
+        )
 
     def read(self) -> DataFrame:
         snap = self.current()
@@ -1086,10 +1107,26 @@ class LakeTable:
         snap = self.current()
         return self._net_raw(snap, snap.files)
 
-    def changes(self, v_from: int, v_to: int | None = None) -> DataFrame:
+    def changes(
+        self,
+        v_from: int,
+        v_to: int | None = None,
+        include_preimage: bool = False,
+    ) -> DataFrame:
         """Change data feed: the NET row-level changes between two committed
         snapshots, emitted as full rows plus a ``_change_type`` column
         (``upsert`` | ``delete``).
+
+        ``include_preimage=True`` additionally emits the ``v_from``-visible
+        row of every key that was updated or deleted, tagged
+        ``update_preimage`` (the Delta-CDF preimage analog). Preimages carry
+        the OLD values — which also gives delete consumers the deleted row's
+        content (the ``delete`` postimage is a tombstone with nulled
+        values). This is what makes downstream aggregates incrementally
+        maintainable (subtract the preimage's contribution, add the
+        postimage's — :mod:`translator_ingests_spark.lake.derived`) with no
+        second snapshot read: the preimage side is the same pruned ``before``
+        scan the diff already performs.
 
         Plan shape (scale path): only files NEW in ``v_to`` are read from the
         target side — COW rewrites whole bucket files, so every change lives
@@ -1101,9 +1138,13 @@ class LakeTable:
         null); tombstones folded out by compaction between the two versions
         are retention bookkeeping, not data changes, and are not emitted.
 
-        Caveat: the implicit ``__extras`` map is excluded from the diff (set
-        operations don't support map columns), so a rewrite that changed
-        ONLY a row's extras payload does not emit.
+        Evolution-added columns are MATERIALIZED from ``__extras`` on both
+        sides before diffing (same projection as ``read()``), so the feed's
+        values match the visible state even for rows whose added-column
+        value still lives in the hidden extras map. Caveat: the raw extras
+        map itself is excluded from the diff (set operations don't support
+        map columns), so a rewrite that changed only extras entries that no
+        added column reads does not emit.
         """
         s_to = self.snapshot_at(v_to) if v_to is not None else self.current()
         s_from = self.snapshot_at(v_from)
@@ -1123,22 +1164,18 @@ class LakeTable:
             # invalid — diff the full net states instead. O(both sides),
             # which is what a cross-rebucket diff costs anyway: the
             # rebucket rewrote every file.
-            after = self._net_raw(s_to, s_to.files).drop(EXTRAS_COL)
-            before = self._net_raw(s_to, s_from.files).drop(EXTRAS_COL)
+            after = self._net_raw(s_to, s_to.files)
+            before = self._net_raw(s_to, s_from.files)
         elif mor:
             # merge-on-read: a new delta file's row is a net change only if
             # it WINS the fold at v_to, so both sides must be the folded NET
             # state of the touched buckets (closure-complete subsets; cost ∝
             # touched buckets, same as the COW path below). exceptAll then
             # cancels the unchanged carried-over rows exactly as before.
-            after = self._net_raw(
-                s_to, self._bucket_closure(s_to.files, seed)
-            ).drop(EXTRAS_COL)
+            after = self._net_raw(s_to, self._bucket_closure(s_to.files, seed))
             # s_from's FILES under s_to's schema mapping (s_to.schemas holds
             # every historical version) so both diff sides align by field id
-            before = self._net_raw(
-                s_to, self._bucket_closure(s_from.files, seed)
-            ).drop(EXTRAS_COL)
+            before = self._net_raw(s_to, self._bucket_closure(s_from.files, seed))
         else:
             prev_files = [
                 f
@@ -1150,15 +1187,35 @@ class LakeTable:
             ]
             # align BOTH sides to s_to's schema (field-id mapping handles
             # files written under older schema versions)
-            after = self._read_files(s_to, new_files, raw=True).drop(EXTRAS_COL)
-            before = self._read_files(s_to, prev_files, raw=True).drop(EXTRAS_COL)
-        delta = after.exceptAll(before)
-        return delta.withColumn(
-            "_change_type",
-            F.when(F.col(TOMBSTONE_COL), F.lit("delete")).otherwise(
-                F.lit("upsert")
-            ),
-        ).drop(TOMBSTONE_COL)
+            after = self._read_files(s_to, new_files, raw=True)
+            before = self._read_files(s_to, prev_files, raw=True)
+        # materialize evolution-added columns on BOTH sides (feed values ==
+        # visible values), then drop the map column — exceptAll can't diff it
+        after = self._materialize_extras(after, s_to).drop(EXTRAS_COL)
+        before = self._materialize_extras(before, s_to).drop(EXTRAS_COL)
+        post = (
+            after.exceptAll(before)
+            .withColumn(
+                "_change_type",
+                F.when(F.col(TOMBSTONE_COL), F.lit("delete")).otherwise(
+                    F.lit("upsert")
+                ),
+            )
+            .drop(TOMBSTONE_COL)
+        )
+        if not include_preimage:
+            return post
+        # rows visible at v_from that are gone or replaced at v_to: the old
+        # row of every update/delete. A tombstone on the before side carried
+        # no visible state (its disappearance is compaction bookkeeping or a
+        # re-insert) — not a preimage.
+        pre = (
+            before.exceptAll(after)
+            .filter(~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)))
+            .withColumn("_change_type", F.lit("update_preimage"))
+            .drop(TOMBSTONE_COL)
+        )
+        return post.unionByName(pre)
 
     @staticmethod
     def _files_overlapping(snap: Snapshot, buckets: list[int]) -> list[dict]:

@@ -35,9 +35,19 @@ class CursorExpiredError(RuntimeError):
 
 
 class ChangesConsumer:
-    def __init__(self, table: LakeTable, checkpoint_dir: str, name: str = "consumer"):
+    def __init__(
+        self,
+        table: LakeTable,
+        checkpoint_dir: str,
+        name: str = "consumer",
+        include_preimage: bool = False,
+    ):
         self.table = table
         self.name = name
+        # preimage rows (``_change_type='update_preimage'``) make batches
+        # subtractable — what incremental aggregate maintenance needs
+        # (lake/derived.py); plain replication leaves this off
+        self.include_preimage = include_preimage
         os.makedirs(checkpoint_dir, exist_ok=True)
         self._cursor_path = os.path.join(checkpoint_dir, f"{name}.cursor.json")
 
@@ -78,7 +88,11 @@ class ChangesConsumer:
             raise CursorExpiredError(
                 f"cursor v{pos} expired from table history; re-bootstrap"
             ) from e
-        return self.table.changes(pos, cur), pos, cur
+        return (
+            self.table.changes(pos, cur, include_preimage=self.include_preimage),
+            pos,
+            cur,
+        )
 
     def commit(self, version: int) -> None:
         """Mark everything up to ``version`` processed. Refuses to move the
