@@ -11,6 +11,11 @@ Commands:
                        to take suggest_num_buckets' advice; no-op when the
                        current count already satisfies the target)
   expire               snapshot GC: --keep-last N
+  sync-replica         exactly-once replica sync via the change feed:
+                       --replica-root PATH --cursor-dir PATH [--name N]
+                       (creates the replica on first run)
+  refresh-agg          incremental aggregate refresh: --agg-root PATH
+                       --group-cols a,b [--sum out=src_col ...]
   delete-where         bulk delete: --predicate "<SQL bool expr>" --at-lsn N
   update-where         bulk update: --predicate ... --set "col=<SQL expr>"
                        (repeatable) --at-lsn N
@@ -62,6 +67,18 @@ def main(argv: list[str] | None = None) -> int:
                           "GC may assume it is not an in-flight writer's")
     sub.add_parser("publish")   # write-audit-publish: make staged visible
     sub.add_parser("rollback")  # discard the staged suffix
+    rep = sub.add_parser("sync-replica")
+    rep.add_argument("--replica-root", required=True)
+    rep.add_argument("--cursor-dir", required=True)
+    rep.add_argument("--name", default="replica")
+    ra = sub.add_parser("refresh-agg")
+    ra.add_argument("--agg-root", required=True,
+                    help="root for the aggregate's state table + cursor")
+    ra.add_argument("--group-cols", required=True,
+                    help="comma-separated grouping columns")
+    ra.add_argument("--sum", action="append", default=[],
+                    help='sum spec "out_col=source_col", repeatable')
+    ra.add_argument("--count-col", default="n_rows")
     dw = sub.add_parser("delete-where")
     dw.add_argument("--predicate", default=None)
     dw.add_argument("--preds", default=None,
@@ -136,6 +153,37 @@ def main(argv: list[str] | None = None) -> int:
                 else wap.rollback_staged(table))
         out.update(version=snap.version, operation=snap.operation,
                    staged_resolved=n_staged)
+    elif args.cmd == "sync-replica":
+        from translator_ingests_spark.lake import derived
+        from translator_ingests_spark.streaming.change_consumer import (
+            ChangesConsumer,
+        )
+
+        dst = LakeTable(spark, args.replica_root)
+        if not dst.exists():
+            dst = derived.create_replica(spark, table, args.replica_root)
+        cons = ChangesConsumer(table, args.cursor_dir, name=args.name)
+        n = derived.sync_replica(table, dst, cons)
+        out.update(version=dst.current().version, operation="sync_replica",
+                   batches_applied=n)
+    elif args.cmd == "refresh-agg":
+        from translator_ingests_spark.lake.derived import IncrementalAggregate
+
+        sums = {}
+        for s in args.sum:
+            o, _, c = s.partition("=")
+            if not c:
+                p.error(f'--sum needs "out_col=source_col", got {s!r}')
+            sums[o.strip()] = c.strip()
+        agg = IncrementalAggregate(
+            spark, table, args.agg_root,
+            group_cols=[c.strip() for c in args.group_cols.split(",") if c.strip()],
+            sums=sums, count_col=args.count_col,
+        )
+        n = agg.refresh()
+        out.update(version=agg.state.current().version,
+                   operation="refresh_agg", batches_applied=n,
+                   groups=agg.read().count())
     elif args.cmd in ("delete-where", "update-where"):
         from translator_ingests_spark.lake.dml import delete_where, update_where
 

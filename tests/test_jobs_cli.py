@@ -84,3 +84,28 @@ def test_maintenance_job_requires_some_predicate(spark, tmp_path, capsys):
     with pytest.raises(SystemExit):
         maint_main(["--table-root", str(tmp_path / "t"),
                     "delete-where", "--at-lsn", "10"])
+
+
+def test_maintenance_job_derived_commands(spark, tmp_path, capsys):
+    eng = seed(spark, tmp_path)
+    root = str(tmp_path / "t" / "lake")
+    rep_root = str(tmp_path / "replica")
+    cur_dir = str(tmp_path / "cursor")
+
+    out = run(capsys, "--table-root", root, "sync-replica",
+              "--replica-root", rep_root, "--cursor-dir", cur_dir)
+    assert out["operation"] == "sync_replica" and out["batches_applied"] == 1
+    from translator_ingests_spark.lake.table import LakeTable
+    dst = LakeTable(spark, rep_root)
+    assert dst.read().count() == eng.table.read().count()
+
+    # second run with nothing new: zero batches, still rc 0
+    out = run(capsys, "--table-root", root, "sync-replica",
+              "--replica-root", rep_root, "--cursor-dir", cur_dir)
+    assert out["batches_applied"] == 0
+
+    out = run(capsys, "--table-root", root, "refresh-agg",
+              "--agg-root", str(tmp_path / "agg"),
+              "--group-cols", "repo", "--sum", "sum_lsn=last_lsn")
+    assert out["operation"] == "refresh_agg"
+    assert out["groups"] == 2  # r0, r1
