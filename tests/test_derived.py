@@ -180,3 +180,33 @@ def test_incremental_aggregate_crash_heal_no_double_count(spark, engine, tmp_pat
     agg.refresh()
     assert rows(agg.read()) == before
     assert rows(agg.read()) == rows(agg.recomputed())
+
+
+def test_incremental_aggregate_max_min_recompute(spark, engine, tmp_path):
+    """Max/min switch the strategy to affected-group recompute — the case a
+    pure delta cannot maintain: deleting a group's current max row must
+    surface the runner-up."""
+    eng = engine
+    agg = IncrementalAggregate(
+        spark, eng.table, str(tmp_path / "agg"), group_cols=["repo"],
+        sums={"sum_lsn": "last_lsn"}, maxes={"max_path": "path"},
+        mins={"min_lsn": "last_lsn"},
+    )
+    agg.refresh()
+    assert rows(agg.read()) == rows(agg.recomputed())
+
+    # r0's rows are p0,p3,p6,p9 — max_path = "p9"; delete it
+    evs = [ev(100, "delete", "r0", "p9")]
+    eng.apply_log(spark.createDataFrame(evs, EVENT_SCHEMA), n_batches=1)
+    agg.refresh()
+    assert rows(agg.read()) == rows(agg.recomputed())
+    got = agg.read().filter(F.col("repo") == "r0").collect()[0]
+    assert got["max_path"] == "p6"  # the runner-up surfaced
+    assert got["min_lsn"] == 0.0 or got["min_lsn"] == 0
+
+    # wipe the whole group: its state row must die, not zero out
+    evs = [ev(200 + i, "delete", "r0", f"p{i}") for i in (0, 3, 6)]
+    eng.apply_log(spark.createDataFrame(evs, EVENT_SCHEMA), n_batches=1)
+    agg.refresh()
+    assert agg.read().filter(F.col("repo") == "r0").count() == 0
+    assert rows(agg.read()) == rows(agg.recomputed())

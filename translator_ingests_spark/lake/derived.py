@@ -130,8 +130,20 @@ class IncrementalAggregate:
 
     ``sums`` maps output column → source numeric column (accumulated as
     DOUBLE; null source values contribute 0). Count and sum are the
-    subtractable aggregates — max/min are not maintainable from a delta
-    stream without full regroup and are out of scope on purpose.
+    subtractable aggregates, maintained purely from the change batch — no
+    source read at all.
+
+    ``maxes`` / ``mins`` (output column → source column) are NOT
+    subtractable — deleting a group's current max requires knowing the
+    runner-up — so configuring either switches the maintenance strategy to
+    AFFECTED-GROUP RECOMPUTE: the groups touched by the change batch (pre-
+    and postimages both) are re-aggregated from the source's visible state
+    via a left-semi join, and only those group rows merge. Cost per refresh
+    is one source scan filtered to the affected groups (O(affected groups'
+    rows) after the filter; a single-group-column aggregate with few
+    changed groups additionally prunes source FILES through the manifest
+    column stats) — still never O(all groups), and the common
+    count/sum-only case keeps the zero-source-scan delta path.
 
     Exactly-once: every state merge carries ``batch_id = v_to``, and
     :meth:`refresh` fast-forwards the consumer cursor to the state table's
@@ -153,6 +165,8 @@ class IncrementalAggregate:
         root: str,
         group_cols: list[str],
         sums: dict[str, str] | None = None,
+        maxes: dict[str, str] | None = None,
+        mins: dict[str, str] | None = None,
         count_col: str = "n_rows",
         name: str = "agg",
         num_buckets: int = 16,
@@ -161,10 +175,13 @@ class IncrementalAggregate:
         self.src = src
         self.group_cols = list(group_cols)
         self.sums = dict(sums or {})
+        self.maxes = dict(maxes or {})
+        self.mins = dict(mins or {})
         self.count_col = count_col
-        bad = set(self.sums) & {*self.group_cols, count_col, "__version"}
-        if bad:
-            raise ValueError(f"sum output columns collide: {sorted(bad)}")
+        outs = [*self.sums, *self.maxes, *self.mins]
+        bad = set(outs) & {*self.group_cols, count_col, "__version"}
+        if bad or len(set(outs)) != len(outs):
+            raise ValueError(f"aggregate output columns collide: {sorted(outs)}")
         self.state = LakeTable(spark, os.path.join(root, "state"))
         self.consumer = ChangesConsumer(
             src,
@@ -175,12 +192,19 @@ class IncrementalAggregate:
         if not self.state.exists():
             src_types = {f.name: f.type for f in src.current().schema.fields}
             missing = [c for c in self.group_cols if c not in src_types]
-            missing += [c for c in self.sums.values() if c not in src_types]
+            missing += [
+                c
+                for c in (*self.sums.values(), *self.maxes.values(),
+                          *self.mins.values())
+                if c not in src_types
+            ]
             if missing:
                 raise ValueError(f"unknown source columns: {sorted(set(missing))}")
             fields = [(c, src_types[c]) for c in self.group_cols]
             fields.append((count_col, "long"))
             fields.extend((out, "double") for out in self.sums)
+            fields.extend((out, src_types[col]) for out, col in self.maxes.items())
+            fields.extend((out, src_types[col]) for out, col in self.mins.items())
             fields.append(("__version", "long"))
             LakeTable.create(
                 spark,
@@ -196,16 +220,23 @@ class IncrementalAggregate:
         """The maintained aggregate (group cols + count + sums)."""
         return self.state.read().drop("__version")
 
-    def recomputed(self) -> DataFrame:
-        """The same aggregate recomputed from the source's full visible
-        state — the O(table) job this class exists to avoid; used by tests
-        to assert the incremental state exact."""
+    def _agg_exprs(self) -> list:
         aggs = [F.count(F.lit(1)).cast("long").alias(self.count_col)]
         for out, col in self.sums.items():
             aggs.append(
                 F.sum(F.coalesce(F.col(col).cast("double"), F.lit(0.0))).alias(out)
             )
-        return self.src.read().groupBy(*self.group_cols).agg(*aggs)
+        for out, col in self.maxes.items():
+            aggs.append(F.max(F.col(col)).alias(out))
+        for out, col in self.mins.items():
+            aggs.append(F.min(F.col(col)).alias(out))
+        return aggs
+
+    def recomputed(self) -> DataFrame:
+        """The same aggregate recomputed from the source's full visible
+        state — the O(table) job this class exists to avoid; used by tests
+        to assert the incremental state exact."""
+        return self.src.read().groupBy(*self.group_cols).agg(*self._agg_exprs())
 
     # -- maintenance ---------------------------------------------------------
     def refresh(self) -> int:
@@ -227,6 +258,9 @@ class IncrementalAggregate:
         snap = self.state.head()
         if v_to <= snap.last_batch_id:
             return  # already folded in (redundant poll)
+        if self.maxes or self.mins:
+            self._recompute_affected(df, v_to, snap)
+            return
         sign = (
             F.when(F.col(_CHANGE_COL) == "update_preimage", F.lit(-1))
             .when(F.col(_CHANGE_COL) == "upsert", F.lit(1))
@@ -239,7 +273,21 @@ class IncrementalAggregate:
                     sign * F.coalesce(F.col(col).cast("double"), F.lit(0.0))
                 ).alias(f"__d_{i}")
             )
-        delta = df.groupBy(*self.group_cols).agg(*aggs)
+        # delete postimages are tombstones (value columns nulled): when a
+        # group column is a value column they would inject a spurious null
+        # group; a delete's true group membership arrives via its preimage
+        delta = (
+            df.filter(F.col(_CHANGE_COL) != "delete")
+            .groupBy(*self.group_cols)
+            .agg(*aggs)
+        )
+        # all-zero deltas (an update that changed no aggregated column, or
+        # cancelling churn) would rewrite the group's state bucket for
+        # nothing — drop them
+        nonzero = F.col("__d_n") != 0
+        for i in range(len(self.sums)):
+            nonzero = nonzero | (F.col(f"__d_{i}") != 0.0)
+        delta = delta.filter(nonzero)
 
         # old rows for the affected groups only: driver-side bucket list
         # (bounded by the state table's bucket count), bucket-pruned read
@@ -274,6 +322,71 @@ class IncrementalAggregate:
         source = j.select(*out_cols)
         self.state.merge(
             source,
+            batch_id=v_to,
+            op_col="__op",
+            lsn_col="__version",
+            extras_col=None,
+        )
+
+    # how many changed groups may be collected driver-side to stat-prune
+    # the source scan (single group column only); beyond it the semi join
+    # filters an unpruned scan — correct either way, pruning is a bonus
+    _PRUNE_GROUPS_MAX = 1000
+
+    def _recompute_affected(self, df: DataFrame, v_to: int, snap) -> None:
+        """Max/min strategy: re-aggregate ONLY the groups the change batch
+        touched from the source's visible state, merge those rows, delete
+        group rows whose last source row vanished. One filtered source scan
+        per refresh; when the aggregate has a single group column and few
+        groups changed, the filter becomes manifest-stat file pruning
+        (lake/scan.py) and most source files are never opened."""
+        from translator_ingests_spark.lake import scan
+
+        # delete postimages excluded: their value columns are nulled, so a
+        # value-column group would read as a spurious null group (the
+        # delete's true group arrives via its preimage row)
+        affected = (
+            df.filter(F.col(_CHANGE_COL) != "delete")
+            .select(*self.group_cols)
+            .distinct()
+        )
+        src_vis = self.src.read()
+        if len(self.group_cols) == 1:
+            g = self.group_cols[0]
+            vals = [
+                r[g]
+                # bounded-collect: capped at _PRUNE_GROUPS_MAX + 1 rows
+                for r in affected.limit(self._PRUNE_GROUPS_MAX + 1).collect()
+            ]
+            if len(vals) <= self._PRUNE_GROUPS_MAX and None not in vals:
+                src_vis = scan.read_where(self.src, [(g, "in", vals)])
+        cond = None
+        for g in self.group_cols:
+            c = src_vis[g].eqNullSafe(affected[g])
+            cond = c if cond is None else (cond & c)
+        part = src_vis.join(affected, on=cond, how="left_semi")
+        regroup = part.groupBy(*self.group_cols).agg(*self._agg_exprs())
+
+        out_names = [self.count_col, *self.sums, *self.maxes, *self.mins]
+        live = regroup.select(
+            *self.group_cols,
+            *out_names,
+            F.lit(v_to).cast("long").alias("__version"),
+            F.lit("update").alias("__op"),
+        )
+        # affected groups with no surviving source rows → the group row dies
+        acond = None
+        for g in self.group_cols:
+            c = affected[g].eqNullSafe(regroup[g])
+            acond = c if acond is None else (acond & c)
+        gone = affected.join(regroup, on=acond, how="left_anti").select(
+            *self.group_cols,
+            *[F.lit(None).alias(n) for n in out_names],
+            F.lit(v_to).cast("long").alias("__version"),
+            F.lit("delete").alias("__op"),
+        )
+        self.state.merge(
+            live.unionByName(gone),
             batch_id=v_to,
             op_col="__op",
             lsn_col="__version",
