@@ -74,6 +74,39 @@ def test_changes_preimage_rows(spark, engine):
     assert pre[("r1", "p1")]["content"] == "v1"  # the deleted row's content
 
 
+def test_changes_projection_scoped(spark, engine):
+    """columns= prunes the feed to keys + the named columns BEFORE diffing:
+    a key whose projected columns are unchanged does not emit at all, while
+    deletes always emit (tombstone flip is inside the projection)."""
+    eng = engine
+    v1 = eng.table.current().version
+    evs = [
+        # content-only churn: lang stays "py" → invisible to a lang-scoped feed
+        ev(100, "update", "r0", "p0", "cX", "py", "CHURN"),
+        # lang actually changes → emits
+        ev(101, "update", "r0", "p3", "cY", "go", "v3"),
+        ev(102, "delete", "r1", "p1"),
+    ]
+    eng.apply_log(spark.createDataFrame(evs, EVENT_SCHEMA), n_batches=1)
+
+    ch = eng.table.changes(v1, columns=["lang"], include_preimage=True)
+    assert sorted(ch.columns) == ["_change_type", "lang", "path", "repo"]
+    got = {(r["repo"], r["path"], r["_change_type"]): r["lang"]
+           for r in ch.collect()}
+    assert got == {
+        ("r0", "p3", "upsert"): "go",
+        ("r0", "p3", "update_preimage"): "py",
+        ("r1", "p1", "delete"): None,
+        ("r1", "p1", "update_preimage"): "py",
+    }
+    # postimage-only mode: same pruning, no preimages
+    post = eng.table.changes(v1, columns=["lang"]).collect()
+    assert {(r["repo"], r["path"]) for r in post} == {("r0", "p3"), ("r1", "p1")}
+
+    with pytest.raises(ValueError, match="unknown feed columns"):
+        eng.table.changes(v1, columns=["no_such_col"])
+
+
 def test_replica_sync_updates_deletes_and_crash_heal(spark, engine, tmp_path):
     eng = engine
     dst = create_replica(spark, eng.table, str(tmp_path / "replica"))

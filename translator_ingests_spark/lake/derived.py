@@ -107,14 +107,19 @@ def sync_replica(src: LakeTable, dst: LakeTable, consumer: ChangesConsumer) -> i
             F.when(F.col(_CHANGE_COL) == "delete", F.lit("delete")).otherwise(
                 F.lit("update")
             ),
-        ).drop(_CHANGE_COL)
-        dst.merge(
-            source,
-            batch_id=v_to,
-            op_col="__op",
-            lsn_col=dst_snap.lsn_col,
-            extras_col=None,
-        )
+        ).drop(_CHANGE_COL).persist()
+        # persisted because the merge consumes it twice (bucket-probe job +
+        # the write pass) and each evaluation re-runs the change-feed diff
+        try:
+            dst.merge(
+                source,
+                batch_id=v_to,
+                op_col="__op",
+                lsn_col=dst_snap.lsn_col,
+                extras_col=None,
+            )
+        finally:
+            source.unpersist()
 
     return consumer.process_available(_apply)
 
@@ -183,11 +188,26 @@ class IncrementalAggregate:
         if bad or len(set(outs)) != len(outs):
             raise ValueError(f"aggregate output columns collide: {sorted(outs)}")
         self.state = LakeTable(spark, os.path.join(root, "state"))
+        # projection-scoped feed: the diff reads and shuffles ONLY the group
+        # and aggregated columns (plus keys) — at a 1 KB content column that
+        # is most of the refresh cost — and keys changed only outside this
+        # projection correctly never reach the delta math
+        needed = list(
+            dict.fromkeys(
+                [
+                    *self.group_cols,
+                    *self.sums.values(),
+                    *self.maxes.values(),
+                    *self.mins.values(),
+                ]
+            )
+        )
         self.consumer = ChangesConsumer(
             src,
             os.path.join(root, "cursor"),
             name=name,
             include_preimage=True,
+            columns=needed,
         )
         if not self.state.exists():
             src_types = {f.name: f.type for f in src.current().schema.fields}
@@ -287,7 +307,10 @@ class IncrementalAggregate:
         nonzero = F.col("__d_n") != 0
         for i in range(len(self.sums)):
             nonzero = nonzero | (F.col(f"__d_{i}") != 0.0)
-        delta = delta.filter(nonzero)
+        # persist the (tiny: one row per changed group) delta — three
+        # consumers follow (bucket collect, state join, merge write) and
+        # each would otherwise re-evaluate the whole change-feed diff
+        delta = delta.filter(nonzero).persist()
 
         # old rows for the affected groups only: driver-side bucket list
         # (bounded by the state table's bucket count), bucket-pruned read
@@ -320,13 +343,17 @@ class IncrementalAggregate:
             F.when(new_n <= 0, F.lit("delete")).otherwise(F.lit("update")).alias("__op")
         )
         source = j.select(*out_cols)
-        self.state.merge(
-            source,
-            batch_id=v_to,
-            op_col="__op",
-            lsn_col="__version",
-            extras_col=None,
-        )
+        try:
+            self.state.merge(
+                source,
+                batch_id=v_to,
+                op_col="__op",
+                lsn_col="__version",
+                extras_col=None,
+                affected_buckets=buckets,
+            )
+        finally:
+            delta.unpersist()
 
     # how many changed groups may be collected driver-side to stat-prune
     # the source scan (single group column only); beyond it the semi join
@@ -344,11 +371,15 @@ class IncrementalAggregate:
 
         # delete postimages excluded: their value columns are nulled, so a
         # value-column group would read as a spurious null group (the
-        # delete's true group arrives via its preimage row)
+        # delete's true group arrives via its preimage row). Persisted:
+        # tiny (one row per touched group), consumed by up to four plans
+        # (prune collect, semi join, anti join, merge) that would otherwise
+        # each re-run the change-feed diff.
         affected = (
             df.filter(F.col(_CHANGE_COL) != "delete")
             .select(*self.group_cols)
             .distinct()
+            .persist()
         )
         src_vis = self.src.read()
         if len(self.group_cols) == 1:
@@ -365,7 +396,9 @@ class IncrementalAggregate:
             c = src_vis[g].eqNullSafe(affected[g])
             cond = c if cond is None else (cond & c)
         part = src_vis.join(affected, on=cond, how="left_semi")
-        regroup = part.groupBy(*self.group_cols).agg(*self._agg_exprs())
+        # regroup is one row per affected group — persisted for the same
+        # reason as `affected` (live select + anti join + merge write)
+        regroup = part.groupBy(*self.group_cols).agg(*self._agg_exprs()).persist()
 
         out_names = [self.count_col, *self.sums, *self.maxes, *self.mins]
         live = regroup.select(
@@ -385,10 +418,21 @@ class IncrementalAggregate:
             F.lit(v_to).cast("long").alias("__version"),
             F.lit("delete").alias("__op"),
         )
-        self.state.merge(
-            live.unionByName(gone),
-            batch_id=v_to,
-            op_col="__op",
-            lsn_col="__version",
-            extras_col=None,
+        bucket = self.state._bucket_expr(snap.num_buckets, snap.key_cols)
+        buckets = sorted(
+            r["__b"]
+            # bounded-collect: ≤ state num_buckets rows
+            for r in affected.select(bucket.alias("__b")).distinct().collect()
         )
+        try:
+            self.state.merge(
+                live.unionByName(gone),
+                batch_id=v_to,
+                op_col="__op",
+                lsn_col="__version",
+                extras_col=None,
+                affected_buckets=buckets,
+            )
+        finally:
+            affected.unpersist()
+            regroup.unpersist()

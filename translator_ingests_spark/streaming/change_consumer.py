@@ -41,6 +41,7 @@ class ChangesConsumer:
         checkpoint_dir: str,
         name: str = "consumer",
         include_preimage: bool = False,
+        columns: list[str] | None = None,
     ):
         self.table = table
         self.name = name
@@ -48,6 +49,9 @@ class ChangesConsumer:
         # subtractable — what incremental aggregate maintenance needs
         # (lake/derived.py); plain replication leaves this off
         self.include_preimage = include_preimage
+        # projection-scoped feed: prune scans + diff to key cols + these
+        # columns; a key changed only outside them does not emit
+        self.columns = list(columns) if columns is not None else None
         os.makedirs(checkpoint_dir, exist_ok=True)
         self._cursor_path = os.path.join(checkpoint_dir, f"{name}.cursor.json")
 
@@ -89,7 +93,12 @@ class ChangesConsumer:
                 f"cursor v{pos} expired from table history; re-bootstrap"
             ) from e
         return (
-            self.table.changes(pos, cur, include_preimage=self.include_preimage),
+            self.table.changes(
+                pos,
+                cur,
+                include_preimage=self.include_preimage,
+                columns=self.columns,
+            ),
             pos,
             cur,
         )
