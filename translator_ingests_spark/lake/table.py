@@ -162,6 +162,11 @@ SEGMENT_MAX_FILES = 256
 # set (the current snapshot's segments + recent history) hot.
 _SEGMENT_CACHE_MAX = 4096  # ≈ one million-file table's full segment set
 
+# change-feed key-scoped MOR diff: max rows across the window's new delta
+# files for which the distinct-key set is still a safe executor broadcast
+# (~1M keys × ~100 B ≈ 100 MB); above it the closure diff amortizes anyway
+_KEY_SCOPED_FEED_MAX_ROWS = 1_000_000
+
 
 class _SegmentCache(OrderedDict):
     def get(self, key, default=None):
@@ -1182,10 +1187,41 @@ class LakeTable:
             # state of the touched buckets (closure-complete subsets; cost ∝
             # touched buckets, same as the COW path below). exceptAll then
             # cancels the unchanged carried-over rows exactly as before.
-            after = self._net_raw(s_to, self._bucket_closure(s_to.files, seed))
+            #
+            # KEY-SCOPED fast path: when every new file is a delta file and
+            # nothing was removed (a pure MOR commit train — no compaction
+            # or COW merge in the window), every changed key MUST appear in
+            # some new delta file; keys outside them fold identically on
+            # both sides and would only cancel in the diff. Restricting
+            # both sides to the delta keys — INSIDE the fold, so the LWW
+            # aggregation itself shrinks — collapses the fold + diff
+            # shuffles from O(bucket closure) to O(churn). Gated on the
+            # manifest's per-file row counts so the broadcast key set stays
+            # executor-safe.
+            churn_rows = [f.get("rows") for f in new_files]
+            restrict = None
+            if (
+                new_files
+                and all(f.get("delta") for f in new_files)
+                and old_paths <= {f["path"] for f in s_to.files}
+                and all(r is not None for r in churn_rows)
+                and sum(churn_rows) <= _KEY_SCOPED_FEED_MAX_ROWS
+            ):
+                restrict = (
+                    self._read_files(s_to, new_files, raw=True)
+                    .select(*s_to.key_cols)
+                    .distinct()
+                )
+            after = self._net_raw(
+                s_to, self._bucket_closure(s_to.files, seed),
+                restrict_keys=restrict,
+            )
             # s_from's FILES under s_to's schema mapping (s_to.schemas holds
             # every historical version) so both diff sides align by field id
-            before = self._net_raw(s_to, self._bucket_closure(s_from.files, seed))
+            before = self._net_raw(
+                s_to, self._bucket_closure(s_from.files, seed),
+                restrict_keys=restrict,
+            )
         else:
             prev_files = [
                 f
@@ -1299,7 +1335,12 @@ class LakeTable:
             pending = rest
         return out
 
-    def _net_raw(self, snap: Snapshot, files: list[dict]) -> DataFrame:
+    def _net_raw(
+        self,
+        snap: Snapshot,
+        files: list[dict],
+        restrict_keys: DataFrame | None = None,
+    ) -> DataFrame:
         """NET raw state of a file subset: base rows and merge-on-read delta
         rows resolved to one row per key (tombstones retained, hidden
         columns kept). ``files`` must be fold-complete for its delta rows —
@@ -1310,10 +1351,24 @@ class LakeTable:
         delta-touched slice pays the per-key LWW fold — one hash aggregation
         whose scope is bounded by the compaction cadence that folds deltas
         back into base files. A snapshot with no delta files short-circuits
-        to the plain COW scan."""
+        to the plain COW scan.
+
+        ``restrict_keys`` (a small key-column DataFrame) limits the result
+        to those keys via a broadcast semi join applied BEFORE the fold —
+        valid because the LWW fold is per-key, so restricting its input to
+        a key subset commutes with it. This is what keeps the fold's
+        shuffle O(restricted keys' rows) instead of O(closure) for the
+        key-scoped change feed."""
+        def limit(df: DataFrame) -> DataFrame:
+            if restrict_keys is None:
+                return df
+            return df.join(
+                F.broadcast(restrict_keys), on=snap.key_cols, how="left_semi"
+            )
+
         deltas = [f for f in files if f.get("delta")]
         if not deltas:
-            return self._read_files(snap, files, raw=True)
+            return limit(self._read_files(snap, files, raw=True))
         dbuckets: set[int] = set()
         for f in deltas:
             dbuckets.update(range(f["bucket_min"], f["bucket_max"] + 1))
@@ -1325,18 +1380,20 @@ class LakeTable:
         hot_paths = {f["path"] for f in hot}
         clean = [f for f in base if f["path"] not in hot_paths]
         folded = _lww_fold(
-            self._read_files(snap, deltas, raw=True)
-            .withColumn(_IS_DELTA_COL, F.lit(True))
-            .unionByName(
-                self._read_files(snap, hot, raw=True)
-                .withColumn(_IS_DELTA_COL, F.lit(False))
+            limit(
+                self._read_files(snap, deltas, raw=True)
+                .withColumn(_IS_DELTA_COL, F.lit(True))
+                .unionByName(
+                    self._read_files(snap, hot, raw=True)
+                    .withColumn(_IS_DELTA_COL, F.lit(False))
+                )
             ),
             snap.key_cols,
             snap.lsn_col,
         )
         if not clean:
             return folded
-        return self._read_files(snap, clean, raw=True).unionByName(folded)
+        return limit(self._read_files(snap, clean, raw=True)).unionByName(folded)
 
     def _files_for_buckets(self, snap: Snapshot, buckets: list[int]) -> list[dict]:
         """File entries whose bucket range meets ``buckets``, fold-complete
