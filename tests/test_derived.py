@@ -250,6 +250,41 @@ def test_incremental_aggregate_max_min_recompute(spark, engine, tmp_path):
     assert rows(agg.read()) == rows(agg.recomputed())
 
 
+def test_vanished_delete_synthesized(spark, tmp_path):
+    """A key deleted AND tombstone-compacted inside one feed window leaves
+    no row (possibly no FILE) at v_to — the feed must synthesize the delete
+    (lsn = low_watermark) or a replica resurrects the key forever. Found by
+    the adversarial derived-tables property; pinned here deterministically."""
+    eng = CdcEngine(spark, str(tmp_path / "cdc"), num_buckets=4,
+                    auto_compact_every=1)
+    evs = [ev(0, "insert", "r1", "b", "c0", "py", "v0"),
+           ev(1, "insert", "r0", "b", "c1", "py", "v1")]
+    eng.apply_log(spark.createDataFrame(evs, EVENT_SCHEMA), n_batches=1)
+    v1 = eng.table.current().version
+    dst = create_replica(spark, eng.table, str(tmp_path / "replica"))
+    cons = ChangesConsumer(eng.table, str(tmp_path / "cur"), name="rep")
+    sync_replica(eng.table, dst, cons)
+
+    # the delete's tombstone is compaction-dropped in the same window (the
+    # per-unit cadence), leaving bucket(r1,b) with no covering file at all
+    evs = [ev(2, "delete", "r1", "b"),
+           ev(3, "update", "r0", "a", "c3", "py", "v3")]
+    eng.apply_log(spark.createDataFrame(evs, EVENT_SCHEMA), n_batches=1)
+    s2 = eng.table.current()
+    assert s2.tombstones_dropped_below >= 2  # the scenario actually dropped it
+
+    ch = {(r["repo"], r["path"]): r
+          for r in eng.table.changes(v1).collect()}
+    assert ch[("r1", "b")]["_change_type"] == "delete"
+    assert ch[("r1", "b")]["last_lsn"] == s2.low_watermark
+
+    sync_replica(eng.table, dst, cons)
+    assert rows(dst.read()) == rows(eng.table.read())
+    assert dst.read().filter(
+        (F.col("repo") == "r1") & (F.col("path") == "b")
+    ).count() == 0
+
+
 def test_aggregate_auto_picks_full_regroup(spark, engine, tmp_path):
     """Under COW a scattered batch rewrites most of a small table; the auto
     strategy must detect that from manifest metadata and take the full

@@ -107,3 +107,80 @@ def test_full_engine_adversarial_replay(spark, tmp_path_factory, mode, events):
                      write_mode=mode)
     eng2.apply_log(df, events_per_batch=3)
     assert _engine_state(eng2) == before
+
+
+def _rows(df):
+    cols = sorted(df.columns)
+    return sorted(
+        tuple(r[c] for c in cols) for r in df.select(*cols).collect()
+    )
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+@settings(max_examples=3, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
+@given(adversarial_logs())
+def test_derived_tables_track_adversarial_stream(spark, tmp_path_factory, mode,
+                                                 events):
+    """Derived tables over the same adversarial axes: a replica and two
+    incremental aggregates (auto strategy on AND pinned-delta) synced
+    mid-stream must track the source exactly through schema add/drop/re-add,
+    deletes, duplicate redelivery, per-unit compaction (which must
+    DISENGAGE the key-scoped MOR feed gate — non-delta files appear in the
+    window) and, in mor mode, mid-stream delta fold-in."""
+    from translator_ingests_spark.lake.derived import (
+        IncrementalAggregate, create_replica, sync_replica,
+    )
+    from translator_ingests_spark.streaming.change_consumer import (
+        ChangesConsumer,
+    )
+
+    root = tmp_path_factory.mktemp("advd")
+    eng = CdcEngine(spark, str(root / "cdc"), num_buckets=4,
+                    auto_compact_every=1, write_mode=mode)
+    dst = None
+    aggs = []
+
+    def sync_all():
+        nonlocal dst
+        if dst is None:
+            dst = create_replica(spark, eng.table, str(root / "replica"))
+        cons = ChangesConsumer(eng.table, str(root / "cur"), name="rep")
+        for _ in range(4):
+            try:
+                sync_replica(eng.table, dst, cons)
+                break
+            except ValueError:
+                # mirror source drops onto the replica (the documented
+                # operational flow for rename/drop), then retry
+                src_cols = {f.name for f in eng.table.current().schema.fields}
+                dropped = [
+                    f.name for f in dst.current().schema.fields
+                    if f.name not in src_cols
+                ]
+                if not dropped:
+                    raise
+                for c in dropped:
+                    dst.update_schema("drop_column", c)
+        if not aggs:
+            aggs.append(IncrementalAggregate(
+                spark, eng.table, str(root / "agg_auto"),
+                group_cols=["repo"], sums={"s": "last_lsn"}))
+            aggs.append(IncrementalAggregate(
+                spark, eng.table, str(root / "agg_delta"),
+                group_cols=["repo"], sums={"s": "last_lsn"},
+                auto_strategy=False))
+        for a in aggs:
+            a.refresh()
+
+    half = max(1, (len(events) * 2) // 3)
+    eng.apply_log(spark.createDataFrame(events[:half], EVENT_SCHEMA),
+                  events_per_batch=3)
+    sync_all()
+    eng.apply_log(spark.createDataFrame(events[half:], EVENT_SCHEMA),
+                  events_per_batch=3)
+    sync_all()
+
+    assert _rows(dst.read()) == _rows(eng.table.read())
+    for a in aggs:
+        assert _rows(a.read()) == _rows(a.recomputed())

@@ -1138,11 +1138,14 @@ class LakeTable:
         target side — COW rewrites whole bucket files, so every change lives
         in a new file — and the ``v_from`` side reads only files whose bucket
         range overlaps those rewritten files (manifest pruning, no full-table
-        scan of either version). ``exceptAll`` then cancels the carried-over
-        unchanged rows: cost ∝ rewritten buckets, not table size. Deletes
-        surface as their tombstone rows (key columns + delete LSN, values
-        null); tombstones folded out by compaction between the two versions
-        are retention bookkeeping, not data changes, and are not emitted.
+        scan of either version). A signed-count diff then cancels the
+        carried-over unchanged rows: cost ∝ rewritten buckets, not table
+        size. Deletes surface as their tombstone rows (key columns + delete
+        LSN, values null); a delete whose tombstone was created AND
+        compaction-dropped inside the window is synthesized (lsn =
+        ``low_watermark`` — see the inline proof), while drops of tombstones
+        created before ``v_from`` are retention bookkeeping, not data
+        changes, and are not emitted.
 
         ``columns`` prunes the feed to the key columns plus the named
         columns BEFORE diffing: the scans never read the other columns
@@ -1164,11 +1167,23 @@ class LakeTable:
         s_to = self.snapshot_at(v_to) if v_to is not None else self.current()
         s_from = self.snapshot_at(v_from)
         old_paths = {f["path"] for f in s_from.files}
+        to_paths = {f["path"] for f in s_to.files}
         new_files = [f for f in s_to.files if f["path"] not in old_paths]
+        # files REMOVED WITHOUT REPLACEMENT: every visible row they held was
+        # deleted and its tombstone compaction-dropped inside the window, so
+        # no new file covers their buckets — the new-file ranges alone would
+        # never read them and their disappearance (a real data change, the
+        # vanished-delete case) would go unseen. They join the before side /
+        # closure seed explicitly, BY PATH, not by widening the range
+        # overlap — a still-present old file sharing a bucket with a removed
+        # one holds unchanged rows that must stay out of the one-sided diff.
+        removed = [f for f in s_from.files if f["path"] not in to_paths]
         ranges = [(f["bucket_min"], f["bucket_max"]) for f in new_files]
         seed = set()
         for lo, hi in ranges:
             seed.update(range(lo, hi + 1))
+        for f in removed:
+            seed.update(range(f["bucket_min"], f["bucket_max"] + 1))
         mor = any(f.get("delta") for f in s_to.files) or any(
             f.get("delta") for f in s_from.files
         )
@@ -1223,10 +1238,12 @@ class LakeTable:
                 restrict_keys=restrict,
             )
         else:
+            removed_paths = {f["path"] for f in removed}
             prev_files = [
                 f
                 for f in s_from.files
-                if any(
+                if f["path"] in removed_paths
+                or any(
                     f["bucket_min"] <= hi and f["bucket_max"] >= lo
                     for lo, hi in ranges
                 )
@@ -1250,46 +1267,75 @@ class LakeTable:
             )
             after = after.select(*keep)
             before = before.select(*keep)
-        if not include_preimage:
-            return (
-                after.exceptAll(before)
-                .withColumn(
-                    "_change_type",
-                    F.when(F.col(TOMBSTONE_COL), F.lit("delete")).otherwise(
-                        F.lit("upsert")
-                    ),
-                )
-                .drop(TOMBSTONE_COL)
-            )
-        # preimages: rows visible at v_from that are gone or replaced at
-        # v_to — the old row of every update/delete. Both diff directions in
-        # ONE aggregation pass (each side holds at most one row per key, so
-        # the signed row count is +1 = postimage-only, -1 = preimage-only,
-        # 0 = carried over) instead of two exceptAll shuffles over the same
-        # inputs. A tombstone on the before side carried no visible state
-        # (its disappearance is compaction bookkeeping or a re-insert) —
-        # not a preimage.
+        # Both diff directions in ONE aggregation pass (each side holds at
+        # most one row per key, so the signed row count is +1 =
+        # postimage-only, -1 = preimage-only, 0 = carried over) instead of
+        # two exceptAll shuffles over the same inputs.
+        #
+        # VANISHED-DELETE SYNTHESIS: a key deleted AND tombstone-compacted
+        # inside the same window leaves no row at all at v_to — the diff
+        # shows only an orphan negative (a preimage with no postimage and
+        # no v_from tombstone). That IS a data change and must emit as a
+        # delete, or a replica synced across the window resurrects the key
+        # forever. The synthesized delete carries lsn = v_to's
+        # low_watermark: the drop gate guarantees the true delete LSN D ≤
+        # watermark, every already-applied event is ≤ watermark, and any
+        # FUTURE event for the key must exceed the watermark (events at or
+        # below it are dropped as known duplicates) — so the watermark
+        # totally orders the synthesized delete exactly where D would.
+        # Drops of tombstones created BEFORE v_from stay non-events: the
+        # before side's row is itself a tombstone then (excluded below) —
+        # that disappearance is retention bookkeeping, and the delete was
+        # already emitted in the window that created the tombstone.
+        from pyspark.sql.window import Window
+
         cols = after.columns
         tagged = after.withColumn("__side", F.lit(1)).unionByName(
             before.withColumn("__side", F.lit(-1))
         )
-        diff = tagged.groupBy(*cols).agg(F.sum("__side").alias("__d"))
-        return (
-            diff.filter(
-                (F.col("__d") > 0)
-                | (
-                    (F.col("__d") < 0)
-                    & ~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))
-                )
-            )
+        diff = (
+            tagged.groupBy(*cols)
+            .agg(F.sum("__side").alias("__d"))
+            .filter(F.col("__d") != 0)
             .withColumn(
-                "_change_type",
-                F.when(F.col("__d") < 0, F.lit("update_preimage"))
-                .when(F.col(TOMBSTONE_COL), F.lit("delete"))
-                .otherwise(F.lit("upsert")),
+                "__has_post",
+                F.max(F.when(F.col("__d") > 0, 1).otherwise(0)).over(
+                    Window.partitionBy(*s_to.key_cols)
+                ),
             )
-            .drop(TOMBSTONE_COL, "__d")
         )
+        is_tomb = F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))
+        post = diff.filter(F.col("__d") > 0).withColumn(
+            "_change_type",
+            F.when(is_tomb, F.lit("delete")).otherwise(F.lit("upsert")),
+        )
+        vanished = diff.filter(
+            (F.col("__d") < 0) & (F.col("__has_post") == 0) & ~is_tomb
+        )
+        keep_keys = set(s_to.key_cols)
+        types = {f.name: f.dataType for f in diff.schema.fields}
+        synth = vanished.select(
+            *[
+                F.col(c)
+                if c in keep_keys
+                else F.lit(True).cast(types[c]).alias(c)
+                if c == TOMBSTONE_COL
+                else F.lit(s_to.low_watermark).cast(types[c]).alias(c)
+                if c == s_to.lsn_col
+                else F.lit(None).cast(types[c]).alias(c)
+                for c in cols
+            ],
+            F.col("__d"),
+            F.col("__has_post"),
+            F.lit("delete").alias("_change_type"),
+        )
+        out = post.unionByName(synth)
+        if include_preimage:
+            pre = diff.filter((F.col("__d") < 0) & ~is_tomb).withColumn(
+                "_change_type", F.lit("update_preimage")
+            )
+            out = out.unionByName(pre)
+        return out.drop(TOMBSTONE_COL, "__d", "__has_post")
 
     @staticmethod
     def _files_overlapping(snap: Snapshot, buckets: list[int]) -> list[dict]:
