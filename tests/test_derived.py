@@ -250,6 +250,46 @@ def test_incremental_aggregate_max_min_recompute(spark, engine, tmp_path):
     assert rows(agg.read()) == rows(agg.recomputed())
 
 
+def test_drop_readd_mid_window_resets_replica_and_aggregate(spark, engine, tmp_path):
+    """A drop + re-add of the same column inside one sync window is
+    metadata-only on the source (no feed rows) yet nulls the column's
+    visible values table-wide. The replica must mirror the reset (field-id
+    comparison, not names) and an aggregate OVER that column must force a
+    full regroup — even in a window with no data events at all."""
+    eng = engine
+    add = {"kind": "add_column", "column": "score", "new_name": None,
+           "new_type": "long"}
+    evs = [ev(50, "schema_change", schema_change=add),
+           ev(51, "update", "r0", "p0", "cA", "py", "scored",
+              extras={"score": "7"})]
+    eng.apply_log(spark.createDataFrame(evs, EVENT_SCHEMA), n_batches=1)
+
+    dst = create_replica(spark, eng.table, str(tmp_path / "replica"))
+    cons = ChangesConsumer(eng.table, str(tmp_path / "cur"), name="rep")
+    sync_replica(eng.table, dst, cons)
+    agg = IncrementalAggregate(
+        spark, eng.table, str(tmp_path / "agg"),
+        group_cols=["repo"], sums={"sum_score": "score"},
+        auto_strategy=False,  # the reset must force regroup even with auto off
+    )
+    agg.refresh()
+    assert rows(dst.read()) == rows(eng.table.read())
+
+    # metadata-only window: drop + re-add, zero data events
+    drop = {"kind": "drop_column", "column": "score", "new_name": None,
+            "new_type": None}
+    evs = [ev(60, "schema_change", schema_change=drop),
+           ev(61, "schema_change", schema_change=add)]
+    eng.apply_log(spark.createDataFrame(evs, EVENT_SCHEMA), n_batches=1)
+    assert eng.table.read().filter(F.col("score").isNotNull()).count() == 0
+
+    sync_replica(eng.table, dst, cons)
+    assert rows(dst.read()) == rows(eng.table.read())
+    assert dst.read().filter(F.col("score").isNotNull()).count() == 0
+    agg.refresh()
+    assert rows(agg.read()) == rows(agg.recomputed())
+
+
 def test_vanished_delete_synthesized(spark, tmp_path):
     """A key deleted AND tombstone-compacted inside one feed window leaves
     no row (possibly no FILE) at v_to — the feed must synthesize the delete

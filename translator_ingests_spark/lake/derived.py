@@ -97,8 +97,35 @@ def sync_replica(src: LakeTable, dst: LakeTable, consumer: ChangesConsumer) -> i
                 "source (rename/drop): apply the matching update_schema to "
                 "the replica before syncing"
             )
+        # FIELD-IDENTITY check, not just names: a drop + re-add of the same
+        # column inside one window is metadata-only on the source — no file
+        # changes, so the feed emits nothing — yet it resets the column's
+        # visible values to null table-wide. Same name, different source
+        # field id ⇒ mirror the reset on the replica (drop + re-add nulls
+        # the old values by the same field-id mechanics); rows the window
+        # DID change refill from the feed right after.
+        from_ids = {
+            f.name: f.field_id for f in src.snapshot_at(v_from).schema.fields
+        }
+        to_ids = {f.name: f.field_id for f in src_schema.fields}
+        from_by_id = {v: k for k, v in from_ids.items()}
+        for c in feed_cols:
+            if (
+                c in dst_names
+                and c in from_ids
+                and from_ids[c] != to_ids[c]
+            ):
+                dst.update_schema("drop_column", c)
+                dst.update_schema("add_column", c, new_type=src_types[c], at_lsn=0)
         for c in feed_cols:
             if c not in dst_names:
+                old_name = from_by_id.get(to_ids[c])
+                if old_name and old_name != c:
+                    raise ValueError(
+                        f"source renamed {old_name!r} → {c!r} mid-window: "
+                        "apply the matching update_schema to the replica "
+                        "before syncing"
+                    )
                 dst.update_schema(
                     "add_column", c, new_type=src_types[c], at_lsn=0
                 )
@@ -297,6 +324,27 @@ class IncrementalAggregate:
         snap = self.state.head()
         if v_to <= snap.last_batch_id:
             return  # already folded in (redundant poll)
+        # field-identity reset check (CORRECTNESS, not a strategy pick, so
+        # it ignores auto_strategy): a drop + re-add of a depended-on column
+        # inside the window nulls its visible values with NO feed rows —
+        # no delta can express that; recompute from the v_to state instead
+        from_ids = {
+            f.name: f.field_id
+            for f in self.src.snapshot_at(v_from).schema.fields
+        }
+        to_ids = {
+            f.name: f.field_id for f in self.src.snapshot_at(v_to).schema.fields
+        }
+        needed = {
+            *self.group_cols, *self.sums.values(),
+            *self.maxes.values(), *self.mins.values(),
+        }
+        if any(
+            c in from_ids and c in to_ids and from_ids[c] != to_ids[c]
+            for c in needed
+        ):
+            self._recompute_full(v_to)
+            return
         if self.auto_strategy and self._full_regroup_cheaper(v_from, v_to):
             self._recompute_full(v_to)
             return

@@ -1196,6 +1196,7 @@ class LakeTable:
             # rebucket rewrote every file.
             after = self._net_raw(s_to, s_to.files)
             before = self._net_raw(s_to, s_from.files)
+            before_empty = not s_from.files
         elif mor:
             # merge-on-read: a new delta file's row is a net change only if
             # it WINS the fold at v_to, so both sides must be the folded NET
@@ -1233,10 +1234,9 @@ class LakeTable:
             )
             # s_from's FILES under s_to's schema mapping (s_to.schemas holds
             # every historical version) so both diff sides align by field id
-            before = self._net_raw(
-                s_to, self._bucket_closure(s_from.files, seed),
-                restrict_keys=restrict,
-            )
+            before_closure = self._bucket_closure(s_from.files, seed)
+            before = self._net_raw(s_to, before_closure, restrict_keys=restrict)
+            before_empty = not before_closure
         else:
             removed_paths = {f["path"] for f in removed}
             prev_files = [
@@ -1252,6 +1252,7 @@ class LakeTable:
             # files written under older schema versions)
             after = self._read_files(s_to, new_files, raw=True)
             before = self._read_files(s_to, prev_files, raw=True)
+            before_empty = not prev_files
         # materialize evolution-added columns on BOTH sides (feed values ==
         # visible values), then drop the map column — row-equality diffs
         # can't compare it
@@ -1267,6 +1268,18 @@ class LakeTable:
             )
             after = after.select(*keep)
             before = before.select(*keep)
+        if before_empty:
+            # bootstrap / nothing-to-diff window: every after row is the
+            # change (no preimages, no vanished keys possible) — skip the
+            # diff aggregation entirely, so a full-table bootstrap poll is
+            # one scan with no shuffle at all
+            return after.withColumn(
+                "_change_type",
+                F.when(
+                    F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)),
+                    F.lit("delete"),
+                ).otherwise(F.lit("upsert")),
+            ).drop(TOMBSTONE_COL)
         # Both diff directions in ONE aggregation pass (each side holds at
         # most one row per key, so the signed row count is +1 =
         # postimage-only, -1 = preimage-only, 0 = carried over) instead of
