@@ -290,6 +290,34 @@ def test_drop_readd_mid_window_resets_replica_and_aggregate(spark, engine, tmp_p
     assert rows(agg.read()) == rows(agg.recomputed())
 
 
+def test_widen_mid_window_mirrors_to_replica(spark, engine, tmp_path):
+    """A source type widen mid-window must widen the replica column too —
+    the feed's rows arrive in the wide type and the narrow replica column
+    would otherwise reject or truncate them."""
+    eng = engine
+    add = {"kind": "add_column", "column": "score", "new_name": None,
+           "new_type": "int"}
+    evs = [ev(50, "schema_change", schema_change=add),
+           ev(51, "update", "r0", "p0", "cA", "py", "scored",
+              extras={"score": "7"})]
+    eng.apply_log(spark.createDataFrame(evs, EVENT_SCHEMA), n_batches=1)
+    dst = create_replica(spark, eng.table, str(tmp_path / "replica"))
+    cons = ChangesConsumer(eng.table, str(tmp_path / "cur"), name="rep")
+    sync_replica(eng.table, dst, cons)
+
+    widen = {"kind": "widen_type", "column": "score", "new_name": None,
+             "new_type": "long"}
+    evs = [ev(60, "schema_change", schema_change=widen),
+           ev(61, "update", "r0", "p3", "cB", "py", "wide",
+              extras={"score": str(2**40)})]
+    eng.apply_log(spark.createDataFrame(evs, EVENT_SCHEMA), n_batches=1)
+    sync_replica(eng.table, dst, cons)
+    assert dict(dst.current().schema.fields and {
+        f.name: f.type for f in dst.current().schema.fields
+    })["score"] == "long"
+    assert rows(dst.read()) == rows(eng.table.read())
+
+
 def test_vanished_delete_synthesized(spark, tmp_path):
     """A key deleted AND tombstone-compacted inside one feed window leaves
     no row (possibly no FILE) at v_to — the feed must synthesize the delete

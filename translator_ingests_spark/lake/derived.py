@@ -129,6 +129,14 @@ def sync_replica(src: LakeTable, dst: LakeTable, consumer: ChangesConsumer) -> i
                 dst.update_schema(
                     "add_column", c, new_type=src_types[c], at_lsn=0
                 )
+        # mirror type widens: feed rows arrive in the source's (wide) type;
+        # merging them into a narrower replica column would truncate.
+        # update_schema validates the direction (illegal narrowing raises)
+        # and is an idempotent no-op when the types already match.
+        dst_types = {f.name: f.type for f in dst.head().schema.fields}
+        for c in feed_cols:
+            if c in dst_types and dst_types[c] != src_types[c]:
+                dst.update_schema("widen_type", c, new_type=src_types[c])
         source = df.withColumn(
             "__op",
             F.when(F.col(_CHANGE_COL) == "delete", F.lit("delete")).otherwise(
