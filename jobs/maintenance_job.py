@@ -15,7 +15,8 @@ Commands:
                        --replica-root PATH --cursor-dir PATH [--name N]
                        (creates the replica on first run)
   refresh-agg          incremental aggregate refresh: --agg-root PATH
-                       --group-cols a,b [--sum out=src_col ...]
+                       --group-cols a,b [--sum/--max/--min out=src_col ...]
+                       [--no-auto-strategy]
   delete-where         bulk delete: --predicate "<SQL bool expr>" --at-lsn N
   update-where         bulk update: --predicate ... --set "col=<SQL expr>"
                        (repeatable) --at-lsn N
@@ -78,7 +79,15 @@ def main(argv: list[str] | None = None) -> int:
                     help="comma-separated grouping columns")
     ra.add_argument("--sum", action="append", default=[],
                     help='sum spec "out_col=source_col", repeatable')
+    ra.add_argument("--max", action="append", default=[],
+                    help='max spec "out_col=source_col", repeatable '
+                         "(switches to affected-group recompute)")
+    ra.add_argument("--min", action="append", default=[],
+                    help='min spec "out_col=source_col", repeatable')
     ra.add_argument("--count-col", default="n_rows")
+    ra.add_argument("--no-auto-strategy", action="store_true",
+                    help="always take the incremental path, never the "
+                         "metadata-picked full regroup")
     dw = sub.add_parser("delete-where")
     dw.add_argument("--predicate", default=None)
     dw.add_argument("--preds", default=None,
@@ -169,16 +178,23 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "refresh-agg":
         from translator_ingests_spark.lake.derived import IncrementalAggregate
 
-        sums = {}
-        for s in args.sum:
-            o, _, c = s.partition("=")
-            if not c:
-                p.error(f'--sum needs "out_col=source_col", got {s!r}')
-            sums[o.strip()] = c.strip()
+        def specs(items, flag):
+            out_specs = {}
+            for s in items:
+                o, _, c = s.partition("=")
+                if not c:
+                    p.error(f'{flag} needs "out_col=source_col", got {s!r}')
+                out_specs[o.strip()] = c.strip()
+            return out_specs
+
         agg = IncrementalAggregate(
             spark, table, args.agg_root,
             group_cols=[c.strip() for c in args.group_cols.split(",") if c.strip()],
-            sums=sums, count_col=args.count_col,
+            sums=specs(args.sum, "--sum"),
+            maxes=specs(args.max, "--max"),
+            mins=specs(args.min, "--min"),
+            count_col=args.count_col,
+            auto_strategy=not args.no_auto_strategy,
         )
         n = agg.refresh()
         out.update(version=agg.state.current().version,

@@ -109,3 +109,12 @@ def test_maintenance_job_derived_commands(spark, tmp_path, capsys):
               "--group-cols", "repo", "--sum", "sum_lsn=last_lsn")
     assert out["operation"] == "refresh_agg"
     assert out["groups"] == 2  # r0, r1
+
+    # max/min specs route through the affected-group recompute strategy
+    out = run(capsys, "--table-root", root, "refresh-agg",
+              "--agg-root", str(tmp_path / "agg2"),
+              "--group-cols", "repo", "--sum", "sum_lsn=last_lsn",
+              "--max", "max_path=path", "--min", "min_lsn=last_lsn",
+              "--no-auto-strategy")
+    assert out["operation"] == "refresh_agg"
+    assert out["groups"] == 2
