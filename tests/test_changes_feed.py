@@ -129,3 +129,55 @@ def test_point_lookup_prunes_to_key_buckets(spark, tmp_path):
         ),
     )
     assert len(pruned) < len(snap.files)
+
+
+def _keys_by_bucket(spark, t, num_buckets, n_candidates=400):
+    """Probe candidate keys and map bucket -> list of (repo, path) keys."""
+    cands = [("r1", f"k{i}.py") for i in range(n_candidates)]
+    rows = (
+        spark.createDataFrame(cands, schema=["repo", "path"])
+        .select("repo", "path",
+                t._bucket_expr(num_buckets, ["repo", "path"]).alias("__b"))
+        .collect()
+    )
+    by_bucket: dict[int, list[tuple[str, str]]] = {}
+    for r in rows:
+        by_bucket.setdefault(r["__b"], []).append((r["repo"], r["path"]))
+    return by_bucket
+
+
+def test_feed_excludes_untouched_file_spanned_by_new_file_range(spark, tmp_path):
+    """Regression (round-4 ADVICE high): a COW merge can write one new file
+    whose contiguous bucket-group range SPANS a live file the merge never
+    touched (live files [0,1] and [2,2]; batch touching buckets 0 and 3
+    writes one file [0,3]). The untouched file's rows must NOT join the
+    before side of the diff — or they surface as orphan negatives and the
+    vanished-delete synthesis emits spurious deletes for keys still visible
+    at v_to."""
+    t = make_table(spark, str(tmp_path / "lake"), num_buckets=8)
+    kb = _keys_by_bucket(spark, t, 8)
+    assert all(kb.get(b) for b in (0, 1, 2, 3)), "probe exhausted; widen candidates"
+    k0, k1, k2, k3 = kb[0][0], kb[1][0], kb[2][0], kb[3][0]
+
+    # batch 0: buckets {0,1} -> grouped write yields one file [0,1]
+    t.merge(src_df(spark, [(*k0, "a0", "insert", 1), (*k1, "b0", "insert", 2)]), 0)
+    # batch 1: bucket {2} -> one file [2,2]; file [0,1] untouched
+    t.merge(src_df(spark, [(*k2, "c0", "insert", 3)]), 1)
+    v2 = t.current().version
+    snap = t.current()
+    ranges = sorted((f["bucket_min"], f["bucket_max"]) for f in snap.files)
+    assert ranges == [(0, 1), (2, 2)], f"fixture drifted: {ranges}"
+
+    # batch 2: buckets {0,3} -> rewrites file [0,1]; carried buckets {0,1} +
+    # new bucket 3 all land in contiguous group 0 -> ONE file spanning [0,3]
+    t.merge(src_df(spark, [(*k0, "a1", "update", 10), (*k3, "d0", "insert", 11)]), 2)
+    snap = t.current()
+    new_ranges = sorted((f["bucket_min"], f["bucket_max"]) for f in snap.files)
+    assert new_ranges == [(0, 3), (2, 2)], f"fixture drifted: {new_ranges}"
+
+    ch = feed(t, v2)
+    # k2 (bucket 2, untouched) must NOT appear — especially not as a delete
+    assert ch == {
+        k0: ("a1", 10, "upsert"),
+        k3: ("d0", 11, "upsert"),
+    }

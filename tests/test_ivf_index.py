@@ -51,8 +51,12 @@ def test_indexed_layout_matches_and_prunes(spark, tmp_path):
     queries = emb.filter(F.col("vec_id") < sim._N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
-    res = sim.ann_ivf_flat_indexed(spark, str(tmp_path / "ivf"), queries)
-    # identical centroids + identical probe rule ⇒ identical results
+    # nprobe pinned to the unindexed default: identical centroids +
+    # identical probe rule ⇒ identical results (the bare default is the
+    # CALIBRATED nprobe, covered by test_calibrated_default_meets_gate)
+    res = sim.ann_ivf_flat_indexed(
+        spark, str(tmp_path / "ivf"), queries, nprobe=sim._IVF_NPROBE
+    )
     assert _rows(res) == _rows(sim.ann_ivf_flat(spark, SF))
 
     # the probe scan must carry a cell partition filter: parquet prunes to
@@ -92,3 +96,44 @@ def test_kmeans_refinement_improves_recall(spark, tmp_path):
     refined = _indexed_recall(spark, str(tmp_path / "ref"))
     assert refined >= base, (base, refined)
     assert refined >= 0.4, refined
+
+
+def test_calibrated_default_meets_gate(spark, tmp_path):
+    """Round-4 VERDICT #2: a bare ann_ivf_flat_indexed call (no nprobe)
+    must serve at the build-calibrated probe count and meet the 0.7
+    recall@5 target — no silent 34%-recall default on spread-out corpora."""
+    import json
+    import os
+
+    root = str(tmp_path / "ivf_cal")
+    info = sim.build_ivf_index(spark, SF, root)
+    meta = json.load(open(os.path.join(root, "centroids.json")))
+    assert info["default_nprobe"] == meta["default_nprobe"]
+    # the stored curve is monotone non-decreasing and spans 1..K
+    curve = meta["recall_curve"]
+    assert [c["nprobe"] for c in curve] == list(range(1, meta["k"] + 1))
+    recalls = [c["recall"] for c in curve]
+    assert all(a <= b for a, b in zip(recalls, recalls[1:]))
+    assert recalls[-1] == 1.0  # probing every cell is exact
+    # the chosen default is the SMALLEST probe count meeting the target
+    d = meta["default_nprobe"]
+    assert curve[d - 1]["recall"] >= 0.7
+    assert d == 1 or curve[d - 2]["recall"] < 0.7
+
+    # bare serve meets the gate against the brute-force oracle
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < sim._N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    truth = {
+        (r["q_id"], r["c_id"]) for r in sim.ann_cosine_topk(spark, SF).collect()
+    }
+    approx = {
+        (r["q_id"], r["c_id"])
+        for r in sim.ann_ivf_flat_indexed(spark, root, queries).collect()
+    }
+    recall = len(truth & approx) / max(1, len(truth))
+    assert recall >= 0.7, f"calibrated-default recall {recall:.2f} < 0.7"
+    # ... and the stored curve PREDICTED that recall exactly (the curve is
+    # derived, not simulated — within-cell search is exact)
+    assert abs(curve[d - 1]["recall"] - recall) < 1e-9

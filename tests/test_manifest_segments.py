@@ -160,3 +160,27 @@ def test_mor_delta_segment_flag_routes_to_fold(spark, tmp_path):
     # pruned lookup must still fold the delta (closure path)
     row = t.lookup([("r1", "a")]).collect()
     assert len(row) == 1 and row[0]["content"] == "dv"
+
+
+def test_segment_cache_lru_on_every_access_path():
+    """Plain indexing, setdefault and update must refresh LRU recency and
+    respect the bound — not only .get / item assignment (round-4 ADVICE)."""
+    from translator_ingests_spark.lake import table as tbl
+
+    cache = tbl._SegmentCache()
+    old_max = tbl._SEGMENT_CACHE_MAX
+    tbl._SEGMENT_CACHE_MAX = 3
+    try:
+        cache["a"] = 1
+        cache["b"] = 2
+        cache["c"] = 3
+        _ = cache["a"]          # plain indexing refreshes recency
+        cache["d"] = 4          # evicts LRU = "b", not "a"
+        assert "a" in cache and "b" not in cache
+        assert cache.setdefault("c", 99) == 3  # refreshes "c", keeps value
+        cache.update({"e": 5})
+        assert len(cache) <= 3
+        cache.update({"f": 6, "g": 7, "h": 8, "i": 9})
+        assert len(cache) <= 3
+    finally:
+        tbl._SEGMENT_CACHE_MAX = old_max

@@ -97,22 +97,25 @@ def test_reader_filter_pushdown_counts_as_scan_filter(spark):
 
 
 def test_no_collect_in_operator_sources():
-    """Static gate: no .collect( in operator/data-path modules (driver-side
-    loops disqualify an operator from being distributed). The CDC engine's
-    driver plane may collect manifests/buckets (O(buckets), not O(rows))."""
+    """Static gate: no untagged .collect( anywhere in the package
+    (driver-side loops disqualify an operator from being distributed).
+    A collect may be justified with `# bounded-collect: <reason>` on the
+    call line or within the 3 lines above it — ONLY when its cardinality
+    is bounded independent of row count (one aggregate row, ≤ num_buckets,
+    O(rules), broadcast-dimension pattern), never O(rows)."""
     import glob
     import os
 
     root = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                         "translator_ingests_spark")
     offenders = []
-    for path in glob.glob(f"{root}/operators/*.py"):
-        src = open(path).read()
-        for i, line in enumerate(src.splitlines(), 1):
-            if ".collect()" in line and "# bounded-collect:" not in line:
-                # a collect may be explicitly justified with
-                # `# bounded-collect: <reason>` ONLY when its cardinality is
-                # a small constant independent of the data size (broadcast
-                # dimension pattern), never O(rows)
-                offenders.append(f"{os.path.basename(path)}:{i}")
+    for path in glob.glob(f"{root}/**/*.py", recursive=True):
+        rel = os.path.relpath(path, root)
+        lines = open(path).read().splitlines()
+        for i, line in enumerate(lines, 1):
+            if ".collect()" not in line:
+                continue
+            window = lines[max(0, i - 4):i + 1]
+            if not any("# bounded-collect:" in ln for ln in window):
+                offenders.append(f"{rel}:{i}")
     assert not offenders, offenders

@@ -586,7 +586,7 @@ class CdcEngine:
                     F.max(F.when(is_valid, F.col("source_offset"))).alias("offset_max"),
                     F.min(F.when(is_valid, F.col("lsn"))).alias("lsn_min"),
                     F.max(F.when(is_valid, F.col("lsn"))).alias("lsn_max"),
-                ).collect()
+                ).collect()  # bounded-collect: one row per source partition
             events_in = sum(r["events_in"] for r in lineage_rows)
             if events_in == 0:
                 return None
@@ -634,7 +634,7 @@ class CdcEngine:
                     bucket = self.table._bucket_expr(snap.num_buckets, snap.key_cols)
                     affected_buckets = sorted(
                         r["__b"]
-                        for r in valid.select(bucket.alias("__b")).distinct().collect()
+                        for r in valid.select(bucket.alias("__b")).distinct().collect()  # bounded-collect: <= num_buckets rows
                     )
                 reduced = partial_lww_reduce(valid, keys=list(snap.key_cols))
             elif small_batch:
@@ -651,7 +651,7 @@ class CdcEngine:
                     bucket = self.table._bucket_expr(snap.num_buckets, snap.key_cols)
                     affected_buckets = sorted(
                         r["__b"]
-                        for r in valid.select(bucket.alias("__b")).distinct().collect()
+                        for r in valid.select(bucket.alias("__b")).distinct().collect()  # bounded-collect: <= num_buckets rows
                     )
                 reduced = lww_reduce(valid, keys=list(snap.key_cols), simple=True)
             else:
@@ -668,7 +668,7 @@ class CdcEngine:
                     wstats = winners.agg(
                         F.count(F.lit(1)).alias("n_keys"),
                         F.collect_set(bucket).alias("buckets"),
-                    ).collect()[0]
+                    ).collect()[0]  # bounded-collect: one aggregate row
                     n_keys = wstats["n_keys"]
                     affected_buckets = sorted(wstats["buckets"] or [])
                 reduced = lww_reduce(

@@ -56,7 +56,7 @@ def detect_hot_keys(
     else:
         counts = df.sample(fraction=sample_fraction, seed=seed).groupBy(key_col).count()
         scale = 1.0 / sample_fraction
-    rows = counts.filter(F.col("count") * scale > hot_threshold).select(key_col).collect()
+    rows = counts.filter(F.col("count") * scale > hot_threshold).select(key_col).collect()  # bounded-collect: <= rows/hot_threshold keys by construction (skew head only)
     return sorted(r[key_col] for r in rows if r[key_col] is not None)
 
 

@@ -171,12 +171,12 @@ def validation_report(
     Driver-side size is O(rules × max_examples) regardless of table size."""
     rules = default_rules() if rules is None else rules
     by_name = {r.name: r for r in rules}
-    counts = [r.asDict() for r in rule_counts(df, rules).collect()]
+    counts = [r.asDict() for r in rule_counts(df, rules).collect()]  # bounded-collect: one row per validation rule
     failed = [c["rule"] for c in counts if c["status"] == "FAIL"]
     examples: dict[str, list] = {name: [] for name in failed}
     if failed:
         failed_rules = [by_name[n] for n in failed]
-        for row in rule_examples(df, failed_rules, key_cols, max_examples).collect():
+        for row in rule_examples(df, failed_rules, key_cols, max_examples).collect():  # bounded-collect: <= rules x max_examples rows
             d = row.asDict()
             examples[d["rule"]].append({c: d[c] for c in key_cols})
     issues = {

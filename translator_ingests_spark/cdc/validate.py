@@ -37,7 +37,7 @@ def validate_engine_state(engine: CdcEngine) -> dict:
         F.countDistinct("repo", "path").alias("distinct_keys"),
         F.min("last_lsn").alias("lsn_min"),
         F.max("last_lsn").alias("lsn_max"),
-    ).collect()[0]
+    ).collect()[0]  # bounded-collect: one aggregate row
 
     report: dict = {
         "rows": agg["rows"],

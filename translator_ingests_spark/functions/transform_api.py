@@ -98,7 +98,7 @@ class IngestPipeline:
         """Execute and collect (test-scale helper); production writes via
         any sink on the planned DataFrame instead."""
         planned, obs = self.plan(df)
-        rows = planned.collect()
+        rows = planned.collect()  # bounded-collect: documented test-scale helper, not a production path
         metrics = {name: ob.get for name, ob in obs.items()}
         for hook in self._on_end:
             hook(metrics)

@@ -532,16 +532,28 @@ class IncrementalAggregate:
             .distinct()
             .persist()
         )
-        src_vis = self.src.read()
-        if len(self.group_cols) == 1:
-            g = self.group_cols[0]
-            vals = [
+        # read AS OF v_to (matching _recompute_full's contract): a commit
+        # racing in after the poll must stay out of this refresh, or the
+        # state would transiently hold later-version data stamped v_to
+        src_vis = self.src.read_at(v_to)
+        # file pruning on the LEADING group column: for a single-column
+        # group this is exact; for multi-column groups the leading column's
+        # distinct values are a superset filter (sound — the semi join
+        # below still scopes to the exact affected groups), which is enough
+        # to skip every file whose stats exclude all touched leading values
+        g = self.group_cols[0]
+        vals = list(
+            {
                 r[g]
                 # bounded-collect: capped at _PRUNE_GROUPS_MAX + 1 rows
-                for r in affected.limit(self._PRUNE_GROUPS_MAX + 1).collect()
-            ]
-            if len(vals) <= self._PRUNE_GROUPS_MAX and None not in vals:
-                src_vis = scan.read_where(self.src, [(g, "in", vals)])
+                for r in affected.select(g)
+                .distinct()
+                .limit(self._PRUNE_GROUPS_MAX + 1)
+                .collect()  # bounded-collect: capped at _PRUNE_GROUPS_MAX + 1 rows
+            }
+        )
+        if len(vals) <= self._PRUNE_GROUPS_MAX and None not in vals:
+            src_vis = scan.read_where(self.src, [(g, "in", vals)], at=v_to)
         cond = None
         for g in self.group_cols:
             c = src_vis[g].eqNullSafe(affected[g])

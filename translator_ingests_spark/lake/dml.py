@@ -69,7 +69,7 @@ def _matching_files(
         .filter(~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)) & cond)
         .select("__file")
         .distinct()
-        .collect()  # bounded: one row per matching data FILE
+        .collect()  # bounded-collect: one row per matching data FILE
     )
     matched = set()
     for r in hits:

@@ -182,12 +182,18 @@ def prune_files(table: LakeTable, snap: Snapshot, preds: list[tuple]) -> list[di
     return kept
 
 
-def read_where(table: LakeTable, preds: list[tuple]) -> DataFrame:
+def read_where(
+    table: LakeTable, preds: list[tuple], at: int | None = None
+) -> DataFrame:
     """Predicate-pruned visible read: ``table.read().filter(...)`` with the
     file list cut down by manifest column stats first. Identical results,
     strictly less I/O — the residual filter still runs (file bounds are
-    necessary, not sufficient) and still pushes into the parquet scan."""
-    snap = table.current()
+    necessary, not sufficient) and still pushes into the parquet scan.
+
+    ``at`` pins the read to a committed snapshot version (the pruned
+    analog of ``table.read_at``) — what an incremental consumer needs so a
+    commit racing in after its poll stays out of the refresh."""
+    snap = table.current() if at is None else table.snapshot_at(at)
     files = prune_files(table, snap, preds)
     df = table._visible(table._net_raw(snap, files), snap)
     return df.filter(predicates_condition(preds))

@@ -62,7 +62,7 @@ def emergent_schema(state: DataFrame) -> dict:
     agg = state.agg(
         F.count(F.lit(1)).alias("__total"),
         *[F.count(f.name).alias(f.name) for f in cols],
-    ).collect()[0]
+    ).collect()[0]  # bounded-collect: one aggregate row
     total = agg["__total"]
     observed = {
         f.name: {
@@ -79,7 +79,7 @@ def emergent_schema(state: DataFrame) -> dict:
             .groupBy("key")
             .agg(F.count(F.lit(1)).alias("n_rows"))
             .orderBy("key")
-            .collect()
+            .collect()  # bounded-collect: one row per distinct extras key (schema-plane cardinality)
         )
         extras_keys = [{"key": r["key"], "n_rows": int(r["n_rows"])} for r in rows]
     return {"n_rows": int(total), "columns": observed, "extras_keys": extras_keys}
@@ -99,9 +99,9 @@ def write_graph_metadata(table: LakeTable, out_path: str) -> dict:
         F.countDistinct("repo").alias("n_repos"),
         F.countDistinct("repo", "path").alias("n_keys"),
         F.sum(F.length("content")).alias("content_chars"),
-    ).collect()[0]
-    langs = [r.asDict() for r in per_lang_stats(state).collect()]
-    prefixes = [r.asDict() for r in repo_prefix_cards(state).collect()]
+    ).collect()[0]  # bounded-collect: one aggregate row
+    langs = [r.asDict() for r in per_lang_stats(state).collect()]  # bounded-collect: one row per language
+    prefixes = [r.asDict() for r in repo_prefix_cards(state).collect()]  # bounded-collect: one row per repo prefix (bounded fan-out)
     artifact = {
         "snapshot_version": snap.version,
         "schema_version": snap.schema_version,

@@ -169,10 +169,23 @@ _KEY_SCOPED_FEED_MAX_ROWS = 1_000_000
 
 
 class _SegmentCache(OrderedDict):
+    # every access path refreshes LRU recency — including plain indexing
+    # and setdefault, so a future caller bypassing .get cannot silently
+    # degrade the eviction accounting
+    def __getitem__(self, key):
+        value = super().__getitem__(key)
+        self.move_to_end(key)
+        return value
+
     def get(self, key, default=None):
         if key in self:
-            self.move_to_end(key)
-            return super().__getitem__(key)
+            return self[key]
+        return default
+
+    def setdefault(self, key, default=None):
+        if key in self:
+            return self[key]
+        self[key] = default
         return default
 
     def __setitem__(self, key, value):
@@ -180,6 +193,10 @@ class _SegmentCache(OrderedDict):
         self.move_to_end(key)
         while len(self) > _SEGMENT_CACHE_MAX:
             self.popitem(last=False)
+
+    def update(self, *a, **kw):
+        for k, v in OrderedDict(*a, **kw).items():
+            self[k] = v
 
 
 _SEGMENT_CACHE: dict[str, list[dict]] = _SegmentCache()
@@ -490,7 +507,7 @@ def _partition_salts(spark: SparkSession, n_parts: int) -> list[int] | None:
             F.col("id").cast("int").alias("s"),
             F.pmod(F.hash(F.col("id").cast("int")), F.lit(n_parts)).alias("p"),
         )
-        .collect()
+        .collect()  # bounded-collect: driver-only salt probe over a tiny literal range
     )
     by_p: dict[int, int] = {}
     for r in rows:
@@ -1238,21 +1255,19 @@ class LakeTable:
             before = self._net_raw(s_to, before_closure, restrict_keys=restrict)
             before_empty = not before_closure
         else:
-            removed_paths = {f["path"] for f in removed}
-            prev_files = [
-                f
-                for f in s_from.files
-                if f["path"] in removed_paths
-                or any(
-                    f["bucket_min"] <= hi and f["bucket_max"] >= lo
-                    for lo, hi in ranges
-                )
-            ]
-            # align BOTH sides to s_to's schema (field-id mapping handles
-            # files written under older schema versions)
+            # COW invariant: every row in a NEW file was either carried from
+            # a REMOVED file or came from the batch — so the before side is
+            # exactly the removed-by-path files. Selecting by bucket-range
+            # overlap instead is WRONG: a merge can write one new file whose
+            # contiguous bucket-group range spans a live file it never
+            # touched (live files [0,1] and [2,2]; batch touching buckets 0
+            # and 3 writes one file [0,3]) — that untouched file's rows
+            # would land in `before` with no counterpart in `after`, and
+            # the vanished-delete synthesis below would emit deletes for
+            # keys still visible at v_to.
             after = self._read_files(s_to, new_files, raw=True)
-            before = self._read_files(s_to, prev_files, raw=True)
-            before_empty = not prev_files
+            before = self._read_files(s_to, removed, raw=True)
+            before_empty = not removed
         # materialize evolution-added columns on BOTH sides (feed values ==
         # visible values), then drop the map column — row-equality diffs
         # can't compare it
@@ -1500,7 +1515,7 @@ class LakeTable:
         # (xxhash64 has no cheap python twin): one tiny job over |keys| rows
         kb = key_df.select(
             self._bucket_expr(snap.num_buckets, snap.key_cols).alias("__b")
-        ).collect()  # bounded: one row per looked-up key
+        ).collect()  # bounded-collect: one row per looked-up key
         buckets = sorted({r["__b"] for r in kb})
         df = self.read_buckets(buckets)
         cond = F.lit(False)
@@ -1701,7 +1716,7 @@ class LakeTable:
             affected = sorted(set(affected_buckets))
         else:
             affected = sorted(
-                r["__bucket"] for r in src.select("__bucket").distinct().collect()
+                r["__bucket"] for r in src.select("__bucket").distinct().collect()  # bounded-collect: <= num_buckets rows
             )
 
         # the batch's row/delete counts ride along the write pass as an
@@ -1725,7 +1740,7 @@ class LakeTable:
             row = src.agg(
                 F.count(F.lit(1)).alias("rows"),
                 F.count(F.when(F.col(op_col) == "delete", 1)).alias("deletes"),
-            ).collect()[0]
+            ).collect()[0]  # bounded-collect: one aggregate row
             merge_counts = {"rows": row["rows"], "deletes": row["deletes"]}
 
         extras_map_t = T.MapType(T.StringType(), T.StringType())
@@ -1930,7 +1945,7 @@ class LakeTable:
                 row = src.agg(
                     F.count(F.lit(1)).alias("rows"),
                     F.count(F.when(F.col(op_col) == "delete", 1)).alias("deletes"),
-                ).collect()[0]
+                ).collect()[0]  # bounded-collect: one aggregate row
                 merge_counts = {"rows": row["rows"], "deletes": row["deletes"]}
         if stats_out is not None:
             stats_out["rows"] = merge_counts["rows"]

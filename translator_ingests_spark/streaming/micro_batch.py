@@ -62,7 +62,7 @@ class CdcStream:
             schema_rows = (
                 batch.filter(F.col("op") == "schema_change")
                 .select("lsn", "schema_change")
-                .collect()
+                .collect()  # bounded-collect: capped at _UNITS_PER_EPOCH schema events (raises above)
             )
             schema_rows.sort(key=lambda r: r["lsn"])
             if len(schema_rows) >= _UNITS_PER_EPOCH:
