@@ -42,6 +42,27 @@ HEADLINE = [
 
 N_ITERS = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
 
+# sf1 (10x sf0.1, tools/make_sf1.py): run the exchange-heavy families at a
+# scale where shuffle cost dominates — sf0.1 is ~17MB and plan regressions
+# (a lost broadcast, an unpushed filter, an all-pairs candidate join) hide
+# inside JVM fixed cost there. Disable with SPARK_GRAFT_SF1=0.
+SF1_HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "topk_per_group",
+    "latest_event_per_user",
+    "groupby_multi_agg",
+    "windowed_event_counts",
+    "session_windows_per_user",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "ann_lsh_bucketed",
+    "ann_ivf_flat",
+]
+
 
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -76,6 +97,27 @@ def main():
             e = round(time.monotonic() - t0, 3)
             if name not in timings or e < timings[name]:
                 timings[name] = e
+
+    # ---- sf1: same interleaved best-of-2, 10x the data (shuffles engage)
+    sf1_timings: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
+        try:
+            from tools.make_sf1 import ensure_sf1
+
+            sf1_dir = ensure_sf1(
+                spark, os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1"))
+            for _pass in range(2):
+                for name in SF1_HEADLINE:
+                    fn = qs.get(name)
+                    if fn is None:
+                        continue
+                    t0 = time.monotonic()
+                    fn(spark, sf1_dir).count()
+                    e = round(time.monotonic() - t0, 3)
+                    if name not in sf1_timings or e < sf1_timings[name]:
+                        sf1_timings[name] = e
+        except Exception as exc:  # fixture generation is best-effort
+            sf1_timings = {"error": str(exc)[:200]}
 
     # ---- throughput points: materialize inputs once, interleave best-of-N
     from pyspark.sql import functions as F
@@ -225,6 +267,7 @@ def main():
                 "mor_clustered_events_per_sec": round(cn / mor_w, 1),
                 "best_of": N_ITERS,
                 "queries": timings,
+                "sf1_queries": sf1_timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cpus": cpus,
             }

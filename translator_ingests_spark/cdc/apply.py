@@ -225,11 +225,17 @@ class CdcEngine:
         from translator_ingests_spark.lake.table import ConcurrentModificationError
 
         last_err: Exception | None = None
-        for _ in range(3):
+        for attempt in range(3):
             try:
                 return self.table.merge(source, **kwargs)
             except ConcurrentModificationError as err:
                 last_err = err
+                # linear backoff before recomputing: a fixed-cadence racer
+                # (a compaction loop on the same hot buckets) would
+                # otherwise win every immediate retry too — yielding one
+                # racer period is what converts a livelock into one lost
+                # round trip (exercised by tests/test_concurrency_soak.py)
+                time.sleep(0.2 * (attempt + 1))
                 warnings.warn(
                     f"merge lost an overlapping-file commit race ({err}); "
                     "recomputing the unit against the new head",

@@ -34,6 +34,7 @@ def generate_event_log(
     content_repeat: int = 1,
     key_locality: int | None = None,
     locality_window: int = 100_000,
+    lsn_start: int = 0,
 ) -> DataFrame:
     """Build the event log. ``lsn`` is a total order 0..n_events-1.
 
@@ -53,7 +54,14 @@ def generate_event_log(
     keyspace — so a micro-batch touches few distinct keys and the lake's
     bucket/file pruning actually engages, as it would in production.
     """
-    df = spark.range(0, n_events, 1, n_spark_partitions or spark.sparkContext.defaultParallelism)
+    # every column below is a pure function of (seed, lsn), so generating the
+    # range [lsn_start, lsn_start + n_events) yields byte-identical rows to
+    # the same slice of one full-range generation — billion-event runs
+    # materialize the log in chunks without ever holding it all on disk
+    df = spark.range(
+        lsn_start, lsn_start + n_events, 1,
+        n_spark_partitions or spark.sparkContext.defaultParallelism,
+    )
     df = df.withColumnRenamed("id", "lsn")
 
     h = lambda salt: F.abs(F.xxhash64(F.lit(seed), F.lit(salt), F.col("lsn")))  # noqa: E731

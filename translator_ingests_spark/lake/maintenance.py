@@ -215,9 +215,18 @@ def _rewrite_files(
         st = _file_stats_from_footer(path)
         if st is None:
             continue
-        added_files.append(
-            {"path": path, "schema_version": snap.schema_version, **st}
-        )
+        entry = {"path": path, "schema_version": snap.schema_version, **st}
+        if drop_tombstones and not force and entry.get("has_tombstones"):
+            # every tombstone at/below the watermark was folded out above,
+            # so the survivors all have lsn > low_watermark. Stamp that on
+            # the entry: the auto-compact cadence skips this file until the
+            # watermark actually advances past the stamp — without it, a
+            # file holding one contested (above-watermark) tombstone is
+            # re-rewritten on EVERY cadence for zero benefit (unbounded
+            # write amplification, and a fence-contention livelock against
+            # the apply loop — tests/test_concurrency_soak.py).
+            entry["tombstones_gt"] = snap.low_watermark
+        added_files.append(entry)
     new_files = list(keep) + added_files
     new_snap = Snapshot(
         version=new_version,
@@ -505,7 +514,15 @@ def compact_incremental(
     touches any delta expands to its bucket-overlap closure so the fold
     sees every row of every key it rewrites."""
     snap = table.head()
-    rewrite = tombstone_files(snap)
+    # skip files already scrubbed at the current watermark: their remaining
+    # tombstones are all above it (``tombstones_gt`` stamp, written by the
+    # previous cadence rewrite), so another rewrite cannot drop anything —
+    # they re-enter the cadence only when the watermark advances past the
+    # stamp. ``force`` ignores the stamp (it drops contested tombstones).
+    rewrite = [
+        f for f in tombstone_files(snap)
+        if force or f.get("tombstones_gt", -(2 ** 62)) < snap.low_watermark
+    ]
     deltas = [f for f in snap.files if f.get("delta")]
     if deltas:
         seed: set[int] = set()
