@@ -10,7 +10,12 @@ import pytest
 
 from translator_ingests_spark.lake import LakeSchema, LakeTable
 from translator_ingests_spark.lake.maintenance import compact, expire_snapshots
-from translator_ingests_spark.lake.release import export_release, read_latest_release
+from translator_ingests_spark.lake.release import (
+    export_release,
+    open_release,
+    read_latest_release,
+    zstd_available,
+)
 from translator_ingests_spark.sources.control_plane import (
     VersionResolver,
     build_version,
@@ -71,14 +76,19 @@ def test_compact_reduces_files_same_state(spark, tmp_path):
     assert {r["content"] for r in t.read().filter("repo='r1'").collect()} == {"vX"}
 
 
-def test_export_release_atomic_publish(spark, tmp_path):
+@pytest.mark.parametrize("compression", ["gz", "zstd"])
+def test_export_release_atomic_publish(spark, tmp_path, compression):
+    if compression == "zstd" and not zstd_available():
+        pytest.skip("no zstd binary on PATH")
     t = _table_with_history(spark, str(tmp_path / "t"), n_batches=2)
     releases = str(tmp_path / "releases")
-    rel_dir = export_release(t, releases)
+    rel_dir = export_release(t, releases, compression=compression)
     latest = read_latest_release(releases)
     assert latest["version"] == t.current().version
     assert latest["release_dir"] == rel_dir
-    with tarfile.open(latest["archive"]) as tf:
+    ext = "zst" if compression == "zstd" else "gz"
+    assert latest["archive"].endswith(f"state.tar.{ext}")
+    with open_release(latest["archive"]) as tf:
         names = tf.getnames()
         assert "snapshot.json" in names
         assert any(n.startswith("data/") for n in names)

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
+import subprocess
 import tarfile
 import tempfile
 import uuid
@@ -18,23 +20,43 @@ import uuid
 from translator_ingests_spark.lake.table import LakeTable
 
 
+def zstd_available() -> bool:
+    """True when an external ``zstd`` binary is on PATH (Python's stdlib
+    has no zstd codec before 3.14)."""
+    return shutil.which("zstd") is not None
+
+
 def export_release(table: LakeTable, releases_root: str,
-                   compression: str = "gz") -> str:
-    """Export the current snapshot: one tar.{gz} of the live data files +
-    snapshot manifest, then atomically publish it as ``latest``.
+                   compression: str = "auto") -> str:
+    """Export the current snapshot: one tar.{gz,zst} of the live data files
+    + snapshot manifest, then atomically publish it as ``latest``.
+
+    ``compression``: ``"zstd"`` matches the reference's release sink
+    (zstd level 12, /root/reference/src/translator_ingest/release.py:50-62)
+    by piping an uncompressed tar through the external ``zstd`` binary;
+    ``"gz"`` stays stdlib-only; ``"auto"`` (default) picks zstd when the
+    binary is present, else gz — releases stay producible on hosts without
+    the codec.
 
     Returns the release directory path. The archive is built in a temp
     location and moved into place, and the ``latest.json`` pointer swap is
     the last, atomic step — a crash mid-export never corrupts ``latest``.
     """
+    if compression == "auto":
+        compression = "zstd" if zstd_available() else "gz"
+    if compression == "zstd" and not zstd_available():
+        raise RuntimeError("compression='zstd' requires a zstd binary on "
+                           "PATH; use 'auto' or 'gz'")
     snap = table.current()
     version = snap.version
     rel_dir = os.path.join(releases_root, f"v{version:08d}")
     os.makedirs(rel_dir, exist_ok=True)
 
-    archive_path = os.path.join(rel_dir, f"state.tar.{compression}")
+    ext = "zst" if compression == "zstd" else compression
+    archive_path = os.path.join(rel_dir, f"state.tar.{ext}")
     tmp_archive = archive_path + f".tmp.{uuid.uuid4().hex}"
-    with tarfile.open(tmp_archive, f"w:{compression}") as tf:
+    tar_mode = "w" if compression == "zstd" else f"w:{compression}"
+    with tarfile.open(tmp_archive, tar_mode) as tf:
         for i, f in enumerate(snap.files):
             tf.add(table.localize_path(f["path"]), arcname=f"data/{i:06d}.parquet")
         manifest_bytes = json.dumps(snap.to_json()).encode()
@@ -43,6 +65,12 @@ def export_release(table: LakeTable, releases_root: str,
         import io
 
         tf.addfile(info, io.BytesIO(manifest_bytes))
+    if compression == "zstd":
+        # level 12 = the reference sink's setting; --rm keeps the temp dir
+        # single-copy. The compressed file lands at tmp_archive + ".zst".
+        subprocess.run(["zstd", "-12", "--rm", "-q", tmp_archive],
+                       check=True)
+        tmp_archive += ".zst"
     os.replace(tmp_archive, archive_path)
 
     # atomic publish: write pointer to temp then rename over latest.json
@@ -52,6 +80,21 @@ def export_release(table: LakeTable, releases_root: str,
         json.dump(pointer, fh)
     os.replace(tmp_ptr, os.path.join(releases_root, "latest.json"))
     return rel_dir
+
+
+def open_release(archive_path: str) -> tarfile.TarFile:
+    """Open a release archive for reading, whatever its codec: gz/bz2/xz
+    go straight through ``tarfile``; ``.zst`` is decompressed through the
+    external binary into an unlinked temp file first (stdlib has no zstd)."""
+    if not archive_path.endswith(".zst"):
+        return tarfile.open(archive_path)
+    if not zstd_available():
+        raise RuntimeError("reading a .zst release requires a zstd binary")
+    tmp = tempfile.TemporaryFile()
+    subprocess.run(["zstd", "-d", "-q", "-c", archive_path], stdout=tmp,
+                   check=True)
+    tmp.seek(0)
+    return tarfile.open(fileobj=tmp, mode="r:")
 
 
 def read_latest_release(releases_root: str) -> dict | None:
