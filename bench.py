@@ -106,10 +106,15 @@ def main():
 
             sf1_dir = ensure_sf1(
                 spark, os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1"))
+            # hard wall budget: sf1 rides along the driver's bench run and
+            # must never dominate it — stop where the budget lands and
+            # report what completed (queries keep priority order)
+            sf1_deadline = time.monotonic() + float(
+                os.environ.get("SPARK_GRAFT_SF1_BUDGET", "300"))
             for _pass in range(2):
                 for name in SF1_HEADLINE:
                     fn = qs.get(name)
-                    if fn is None:
+                    if fn is None or time.monotonic() > sf1_deadline:
                         continue
                     t0 = time.monotonic()
                     fn(spark, sf1_dir).count()
