@@ -117,8 +117,12 @@ def main() -> None:
     state: dict[str, dict] = {}
     for m in modes:
         root = tempfile.mkdtemp(prefix=f"billion_{m}_")
+        # expiry cadence is NON-optional at this commit count: without it
+        # retained history grows O(commits x rewrite-size) — the first
+        # attempt of this run filled a 250 GB disk at ~600 COW commits
         engines[m] = CdcEngine(spark, root, num_buckets=NUM_BUCKETS,
-                               use_arrow_normalize=False, write_mode=m)
+                               use_arrow_normalize=False, write_mode=m,
+                               auto_expire_every=64, expire_keep_last=16)
         state[m] = {"apply_s": 0.0, "bulk_s": 0.0, "tail_s": 0.0,
                     "samples": []}
 

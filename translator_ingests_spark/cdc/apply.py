@@ -100,6 +100,8 @@ class CdcEngine:
         hot_sample_fraction: float = 0.05,
         salt_buckets: int = 32,
         auto_compact_every: int | None = 16,
+        auto_expire_every: int | None = None,
+        expire_keep_last: int = 16,
         small_batch_events: int = 1_000_000,
         write_mode: str = "cow",
         partial_updates: bool = False,
@@ -124,6 +126,19 @@ class CdcEngine:
         # downstream merged table still needs the tombstones — see
         # lake/merge_sources.py's rebuild guard).
         self.auto_compact_every = auto_compact_every
+        # snapshot-expiry cadence: every K committed units, expire all but
+        # the newest `expire_keep_last` snapshots and delete their
+        # now-unreferenced data files. Without it a long train retains
+        # O(commits x rewrite-size) of history — a 600-commit COW tail
+        # measured ~90 GB of dead files (the round-5 billion run exhausted
+        # its disk exactly this way). Default OFF: expiry truncates time
+        # travel and the change feed to the retained window, so the cadence
+        # must be an explicit operator choice coordinated with downstream
+        # changes() consumers (lake/derived.py replicas) — same trade as
+        # Delta VACUUM vs CDF retention. Long-running loops should pass
+        # e.g. auto_expire_every=64, expire_keep_last>=the consumers' lag.
+        self.auto_expire_every = auto_expire_every
+        self.expire_keep_last = expire_keep_last
         # batches at or below this many valid events reduce via one max_by
         # job (the decomposed winners plan's fixed cost never amortizes
         # there — see lww_reduce's `simple` path); larger batches take the
@@ -497,6 +512,25 @@ class CdcEngine:
                             # (manifest-metadata selection) — the default
                             # cadence must never be an O(table) job
                             compact_incremental(self.table, drop_tombstones=True)
+                        if (
+                            self.auto_expire_every
+                            # keyed on the GLOBAL unit id, not this call's
+                            # manifest count: a seconds-cadence loop commits
+                            # one unit per apply() call, and a per-call
+                            # counter would never reach the cadence
+                            and (unit_id + 1) % self.auto_expire_every == 0
+                        ):
+                            from translator_ingests_spark.lake.maintenance import (
+                                expire_snapshots,
+                            )
+
+                            # bound retained history: expired snapshots'
+                            # files are known garbage (deleted now); files
+                            # of in-flight fence-racing writers stay behind
+                            # the orphan age gate
+                            expire_snapshots(
+                                self.table, keep_last=self.expire_keep_last
+                            )
                     unit_id += 1
                     if max_units is not None and unit_id - base_unit >= max_units:
                         if not already_cached:
