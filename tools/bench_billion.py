@@ -124,7 +124,7 @@ def main() -> None:
                                use_arrow_normalize=False, write_mode=m,
                                auto_expire_every=64, expire_keep_last=16)
         state[m] = {"apply_s": 0.0, "bulk_s": 0.0, "tail_s": 0.0,
-                    "samples": []}
+                    "bulk2_s": 0.0, "samples": []}
 
     # warm-up: JIT the hot codegen loops on throwaway tables
     for m in modes:

@@ -46,7 +46,8 @@ def main() -> None:
         if not samples:
             continue
         final = samples[-1]
-        bulk = [s for s in samples if s["phase"].startswith("bulk")]
+        bulk = [s for s in samples if s["phase"] == "bulk"]
+        bulk2 = [s for s in samples if s["phase"] == "bulk2"]
         tail = [s for s in samples if s["phase"] == "tail"]
         lines += [f"## mode `{m}`", ""]
         if bulk:
@@ -72,6 +73,16 @@ def main() -> None:
                 f"{t_last['manifest_files']} segment files / "
                 f"{t_last['manifest_mb']} MB; snapshot jsons "
                 f"{t_last['snapshot_json_mb']} MB",
+            ]
+        if bulk2:
+            b2 = bulk2[-1]
+            lines += [
+                f"- continued backfill ON the 1,000+-snapshot table: "
+                f"{b2['bulk2_events'] / 1e6:.0f}M further events at "
+                f"**{b2['bulk2_events_per_sec']:,} events/sec** "
+                f"(24.5M-event batches), table at "
+                f"{b2['events_applied'] / 1e6:.0f}M applied events / "
+                f"{b2['snapshots']:,} snapshots",
             ]
         heap = [s["driver_heap_mb"] for s in samples]
         cold = [s["cold_open_s"] for s in samples]
