@@ -121,7 +121,7 @@ def test_simhash_band_buckets_bounded_at_10k_docs(spark, sim_dir):
     bands, expected collisions for unrelated docs ≈ B * C(n,2) / 2^16 ≈ 3k
     at n=10^4 — NOT the ~25M the old 16-value band space produced."""
     docs = spark.read.parquet(f"{sim_dir}/documents.parquet")
-    sigs = docs.select("doc_id", dedup._simhash_col().alias("sig"))
+    sigs = dedup._simhash_df(docs, "sig")
     bands = sigs.select(
         "doc_id",
         F.explode(

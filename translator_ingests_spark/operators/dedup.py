@@ -32,9 +32,16 @@ def _tokens(col):
     return F.filter(F.split(F.lower(col), _TOKEN_RE), lambda x: x != "")
 
 
-def _shingles(col, k: int = 3):
-    """Distinct k-word shingles as strings."""
-    toks = _tokens(col)
+def _shingles(toks, k: int = 3):
+    """Distinct k-word shingles as strings from a BOUND token-array column.
+
+    ``toks`` must be a column *reference* (a projected attribute), never the
+    tokenization expression tree itself: higher-order-function lambdas are
+    interpreted, and an expression subtree referenced inside the lambda is
+    re-evaluated per element — inlining ``_tokens(text)`` here re-ran the
+    regex split ~3×len(toks) times per row (measured 25× slower at sf1).
+    Callers go through :func:`_shingle_rows`, which projects the tokens
+    first so ``element_at`` binds to a materialized array."""
     idx = F.sequence(F.lit(0), F.size(toks) - k)
     return F.when(
         F.size(toks) >= k,
@@ -50,6 +57,17 @@ def _shingles(col, k: int = 3):
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def _shingle_rows(docs) -> DataFrame:
+    """(doc_id, shingle) rows — tokens projected as a real attribute first
+    (see :func:`_shingles` for why the two-step projection is load-bearing;
+    CollapseProject keeps it because the token array is referenced more than
+    once and is not a cheap expression)."""
+    toks = docs.select("doc_id", _tokens(F.col("text")).alias("__toks"))
+    return toks.select(
+        "doc_id", F.explode(_shingles(F.col("__toks"))).alias("shingle")
+    )
 
 
 # shingles in DuckDB (1-indexed lists)
@@ -99,7 +117,7 @@ def _capped_shingles(docs) -> DataFrame:
     """(doc_id, shingle) pairs with stop-shingles (document frequency >
     _DF_CAP) removed. The stop list is tiny (≤ total_occurrences / DF_CAP
     entries), so it broadcasts — the exclusion join is map-side."""
-    sh = docs.select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle"))
+    sh = _shingle_rows(docs)
     stop = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -126,20 +144,48 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by 3-gram shingle Jaccard ≥ 0.5 over the DF-capped
     shingle set.
 
-    Candidate generation by shingle co-occurrence (explode + self-join on
-    the shingle) — never a doc×doc cross join; at 100 TB the shuffle key is
-    the shingle hash and the document-frequency cap (``_DF_CAP``) bounds the
+    Candidate generation by shingle co-occurrence — never a doc×doc cross
+    join: ONE shuffle keyed on the shingle groups co-occurring docs, and
+    candidate pairs are generated in-array per group, so at 100 TB the
+    shuffle volume is O(shingle rows) once (vs twice for the classic
+    self-join) and the document-frequency cap (``_DF_CAP``) bounds the
     per-shingle blowup to DF_CAP² pairs."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    sh = _capped_shingles(docs)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    sh0 = _shingle_rows(docs)
+    # ONE shuffle keyed on the shingle; the DF cap is the filter on the
+    # grouped row (shingles are distinct per doc, so rows-per-shingle ==
+    # docs-containing-it). Each kept group carries ≤ _DF_CAP doc ids.
+    groups = (
+        sh0.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") <= _DF_CAP)
     )
+    # per-doc kept-shingle counts: one row per doc — AQE broadcasts this
+    # side when it fits (it always does relative to the pair stream)
+    sizes = (
+        groups.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
+    # candidate pairs generated IN-ARRAY per group (sorted ds ⇒ doc_a <
+    # doc_b for free) — replaces the shingle self-join: no second scan of
+    # the shingle stream, no join shuffle, and the per-group blowup is
+    # bounded by DF_CAP² by construction. ds is a bound attribute here, so
+    # the nested lambdas index a materialized array (see _shingles note).
+    pairs = groups.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ds"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                        lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
+    inter = pairs.groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("n_inter"))
     sa, sb = sizes.alias("sa"), sizes.alias("sb")
     out = (
         inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
@@ -249,10 +295,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hex digit (b // 4) of each distinct token's md5; signature groups are
     dup candidates (single equality-join key — the cheapest LSH)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return (
-        docs.select("doc_id", _simhash_col().alias("simhash64"))
-        .orderBy("doc_id")
-    )
+    return _simhash_df(docs, "simhash64").orderBy("doc_id")
 
 
 _SIM_BITS = 64
@@ -301,11 +344,16 @@ _N_SIM_BANDS = 4
 _BAND_WIDTH = _SIM_BITS // _N_SIM_BANDS
 
 
-def _simhash_col():
-    """The 64-char '0'/'1' SimHash signature as a column expression (shared
-    by dedup_simhash and dedup_simhash_pairs). ONE pass over the token-hash
-    array: the fold accumulates all 64 bit-votes in an int array via
-    zip_with — not 64 separate array scans."""
+def _simhash_df(docs, out_col: str) -> DataFrame:
+    """(doc_id, <out_col>) with the 64-char '0'/'1' SimHash signature
+    (shared by dedup_simhash and dedup_simhash_pairs). ONE pass over the
+    token-hash array: the fold accumulates all 64 bit-votes in an int array
+    via zip_with — not 64 separate array scans. The accumulator is projected
+    as a real attribute BEFORE bit extraction: the fold is an interpreted
+    higher-order function, and the 64 ``element_at(acc, b)`` references in
+    the bit-concat would otherwise re-run the whole fold 64× per row (the
+    same lambda-recompute trap as :func:`_shingles` — measured GC collapse
+    at sf1)."""
     toks = F.array_distinct(_tokens(F.col("text")))
     hashes = F.transform(toks, lambda x: F.md5(x))
 
@@ -319,17 +367,23 @@ def _simhash_col():
             ]
         )
 
-    acc = F.aggregate(
-        hashes,
-        F.array_repeat(F.lit(0), _SIM_BITS),
-        lambda a, h: F.zip_with(a, _votes(h), lambda x, v: x + v),
+    acc_df = docs.select(
+        "doc_id",
+        F.aggregate(
+            hashes,
+            F.array_repeat(F.lit(0), _SIM_BITS),
+            lambda a, h: F.zip_with(a, _votes(h), lambda x, v: x + v),
+        ).alias("__acc"),
     )
-    return F.concat(
+    sig = F.concat(
         *[
-            F.when(F.element_at(acc, b + 1) > 0, F.lit("1")).otherwise(F.lit("0"))
+            F.when(F.element_at(F.col("__acc"), b + 1) > 0, F.lit("1")).otherwise(
+                F.lit("0")
+            )
             for b in range(_SIM_BITS)
         ]
     )
+    return acc_df.select("doc_id", sig.alias(out_col))
 
 
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -341,11 +395,23 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Completes the dedup-set semantics of the reference's seen-pair dedup
     (/root/reference/src/translator_ingest/ingests/string/string.py:126-139):
-    signatures alone (dedup_simhash) don't give a consumer dup groups."""
+    signatures alone (dedup_simhash) don't give a consumer dup groups.
+
+    Banding runs over DISTINCT signatures, not docs: duplicate-heavy corpora
+    collapse to few signatures (sf1: 50k docs → 3,866 sigs), and banding
+    docs makes every identical-sig group collide in all 4 bands — a 4×
+    pre-distinct blowup plus a per-DOC-pair Hamming refine (measured 434s at
+    sf1). Instead: (a) identical-sig doc pairs come from ONE self-join keyed
+    on the full signature (no band duplication, Hamming is 0 by definition;
+    AQE skew-split handles mega-groups — the quadratic OUTPUT within a dup
+    group is the contract, not an intermediate); (b) cross-sig candidates
+    band the distinct-sig table, refine Hamming ONCE per signature pair,
+    then broadcast the surviving sig pairs against the doc→sig map to expand
+    into doc pairs. Shuffle volume ∝ distinct signatures + true output."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    sigs = docs.select("doc_id", _simhash_col().alias("sig"))
-    bands = sigs.select(
-        "doc_id",
+    sigs = _simhash_df(docs, "sig")
+    dsig = sigs.select("sig").distinct()
+    bands = dsig.select(
         "sig",
         F.explode(
             F.array(
@@ -360,34 +426,49 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "sig", "band.band_idx", "band.band_val")
+    ).select("sig", "band.band_idx", "band.band_val")
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])  # a pair may share several bands
-    )
     hamming = sum(
         F.when(
             F.substring("sig_a", i + 1, 1) != F.substring("sig_b", i + 1, 1), 1
         ).otherwise(0)
         for i in range(_SIM_BITS)
     )
-    return (
-        cand.select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+    sig_pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.sig") < F.col("b.sig")),
+        )
+        .select(F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
+        .dropDuplicates(["sig_a", "sig_b"])  # a pair may share several bands
+        .select("sig_a", "sig_b", hamming.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= _HAMMING_K)
-        .orderBy("doc_a", "doc_b")
     )
+    # (a) identical signatures: hamming 0, pairs within the sig group.
+    sa, sb = sigs.alias("sa"), sigs.alias("sb")
+    same = sa.join(
+        sb,
+        (F.col("sa.sig") == F.col("sb.sig"))
+        & (F.col("sa.doc_id") < F.col("sb.doc_id")),
+    ).select(
+        F.col("sa.doc_id").alias("doc_a"),
+        F.col("sb.doc_id").alias("doc_b"),
+        F.lit(0).alias("hamming"),
+    )
+    # (b) near signatures: expand sig pairs (tiny — broadcast) to doc pairs.
+    cross = (
+        sig_pairs.hint("broadcast")
+        .join(sa, F.col("sig_a") == F.col("sa.sig"))
+        .join(sb, F.col("sig_b") == F.col("sb.sig"))
+        .select(
+            F.least("sa.doc_id", "sb.doc_id").alias("doc_a"),
+            F.greatest("sa.doc_id", "sb.doc_id").alias("doc_b"),
+            "hamming",
+        )
+    )
+    return same.unionByName(cross).orderBy("doc_a", "doc_b")
 
 
 _HAMMING_SQL = " + ".join(
