@@ -61,6 +61,9 @@ SF1_HEADLINE = [
     "ann_cosine_topk",
     "ann_lsh_bucketed",
     "ann_ivf_flat",
+    # last: inherently the biggest output at sf1 (16.8M true dup pairs);
+    # rides only if the wall budget still has room
+    "dedup_simhash_pairs",
 ]
 
 
