@@ -244,10 +244,14 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(_EMB_DIMS)
         ]
     )
-    e = emb.select("vec_id", "embedding", sig.alias("sig"))
+    # band join carries vec_ids ONLY: shuffling the raw vectors through
+    # explode + join + distinct multiplies shuffle volume by n_bands and by
+    # the pre-distinct collision factor — at 100 TB the vectors move once
+    # per deduped candidate side (the two id-keyed joins below), not once
+    # per band row
+    e = emb.select("vec_id", sig.alias("sig"))
     bands = e.select(
         "vec_id",
-        "embedding",
         F.explode(
             F.array(
                 *[
@@ -259,31 +263,35 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("band"),
-    ).select("vec_id", "embedding", "band.band_idx", "band.band_val")
-    a = bands.select(*[F.col(c).alias(f"a_{c}") for c in bands.columns])
-    b = bands.select(*[F.col(c).alias(f"b_{c}") for c in bands.columns])
+    ).select("vec_id", "band.band_idx", "band.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
             b,
-            (F.col("a_band_idx") == F.col("b_band_idx"))
-            & (F.col("a_band_val") == F.col("b_band_val"))
-            & (F.col("a_vec_id") < F.col("b_vec_id")),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
-            F.col("a_vec_id").alias("vec_a"),
-            F.col("b_vec_id").alias("vec_b"),
-            F.col("a_embedding").alias("emb_a"),
-            F.col("b_embedding").alias("emb_b"),
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
         )
         .dropDuplicates(["vec_a", "vec_b"])  # a pair may share several bands
     )
+    # norms are per-VECTOR (one fold each, n rows) — not per candidate pair
+    # (two folds each, up to n·collisions rows); the refine then runs a
+    # single dot-product fold per pair
+    v = emb.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
+    va, vb = v.alias("va"), v.alias("vb")
     return (
-        cand.select(
+        cand.join(va, F.col("vec_a") == F.col("va.vec_id"))
+        .join(vb, F.col("vec_b") == F.col("vb.vec_id"))
+        .select(
             "vec_a",
             "vec_b",
             (
-                _dot(F.col("emb_a"), F.col("emb_b"))
-                / (_norm(F.col("emb_a")) * _norm(F.col("emb_b")))
+                _dot(F.col("va.embedding"), F.col("vb.embedding"))
+                / (F.col("va.nrm") * F.col("vb.nrm"))
             ).alias("cos"),
         )
         .filter(F.col("cos") >= 0.4)
