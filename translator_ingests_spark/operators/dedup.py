@@ -145,20 +145,22 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle set.
 
     Candidate generation by shingle co-occurrence — never a doc×doc cross
-    join: ONE shuffle keyed on the shingle groups co-occurring docs, and
-    candidate pairs are generated in-array per group, so at 100 TB the
-    shuffle volume is O(shingle rows) once (vs twice for the classic
-    self-join) and the document-frequency cap (``_DF_CAP``) bounds the
-    per-shingle blowup to DF_CAP² pairs."""
+    join: co-occurring docs are grouped per shingle and candidate pairs are
+    generated in-array per group, so there is no second scan of the shingle
+    stream and no join shuffle; the document-frequency cap (``_DF_CAP``)
+    bounds the per-shingle blowup to DF_CAP² pairs.
+
+    The DF cap MUST be applied before ``collect_list`` (via
+    :func:`_capped_shingles`'s broadcast stop-list anti-join): filtering on
+    the collected group's size would first materialize a universal
+    stop-shingle's FULL doc list in one aggregation buffer — O(corpus) on a
+    single executor at web scale. The pre-filter's own count aggregation is
+    map-side combinable (no arrays), so every array that reaches a buffer
+    holds ≤ DF_CAP ids by construction."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    sh0 = _shingle_rows(docs)
-    # ONE shuffle keyed on the shingle; the DF cap is the filter on the
-    # grouped row (shingles are distinct per doc, so rows-per-shingle ==
-    # docs-containing-it). Each kept group carries ≤ _DF_CAP doc ids.
-    groups = (
-        sh0.groupBy("shingle")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
-        .filter(F.size("ds") <= _DF_CAP)
+    sh = _capped_shingles(docs)
+    groups = sh.groupBy("shingle").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ds")
     )
     # per-doc kept-shingle counts: one row per doc — AQE broadcasts this
     # side when it fits (it always does relative to the pair stream)
