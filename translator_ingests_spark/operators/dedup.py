@@ -159,8 +159,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     holds ≤ DF_CAP ids by construction."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     sh = _capped_shingles(docs)
-    groups = sh.groupBy("shingle").agg(
-        F.sort_array(F.collect_list("doc_id")).alias("ds")
+    # persisted because BOTH consumers below (sizes, pairs) branch from it
+    # and Spark materializes shared DataFrame subtrees once per consumer —
+    # without it the tokenize + stop-list + group pipeline runs twice
+    # (ReusedExchange does not fire across the differing projections).
+    # MEMORY_AND_DISK: at scale this is ~the group shuffle's output, so the
+    # spill cost is bounded by one extra shuffle write, strictly cheaper
+    # than recomputing the upstream.
+    from pyspark import StorageLevel
+
+    groups = (
+        sh.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # per-doc kept-shingle counts: one row per doc — AQE broadcasts this
     # side when it fits (it always does relative to the pair stream)
