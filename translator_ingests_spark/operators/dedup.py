@@ -422,10 +422,29 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     then broadcast the surviving sig pairs against the doc→sig map to expand
     into doc pairs. Shuffle volume ∝ distinct signatures + true output."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    sigs = _simhash_df(docs, "sig")
-    dsig = sigs.select("sig").distinct()
+    # persisted: the signature fold is the expensive stage and FOUR
+    # consumers branch from it (dsig, both sides of the identical-sig
+    # self-join, and the cross expansion) — Spark materializes shared
+    # subtrees once per consumer, so without the persist the fold runs 4×.
+    from pyspark import StorageLevel
+
+    sigs = _simhash_df(docs, "sig").persist(StorageLevel.MEMORY_AND_DISK)
+    # the Hamming refine compares PACKED signature halves (string → two
+    # 32-bit ints, converted once per distinct sig): hamming = popcount of
+    # the xor. The naive formulation — 64 chained CASE WHEN substring(a,i,1)
+    # != substring(b,i,1) terms — exceeds the whole-stage-codegen expression
+    # budget and falls back to interpreted eval per candidate pair (measured
+    # 28s over 507k sf1 candidates vs <1s packed).
+    def _half(col, j):
+        return F.conv(F.substring(col, 32 * j + 1, 32), 2, 10).cast("long")
+
+    dsig = sigs.select("sig").distinct().select(
+        "sig", _half(F.col("sig"), 0).alias("h0"), _half(F.col("sig"), 1).alias("h1")
+    )
     bands = dsig.select(
         "sig",
+        "h0",
+        "h1",
         F.explode(
             F.array(
                 *[
@@ -439,14 +458,11 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("band"),
-    ).select("sig", "band.band_idx", "band.band_val")
+    ).select("sig", "h0", "h1", "band.band_idx", "band.band_val")
     a, b = bands.alias("a"), bands.alias("b")
-    hamming = sum(
-        F.when(
-            F.substring("sig_a", i + 1, 1) != F.substring("sig_b", i + 1, 1), 1
-        ).otherwise(0)
-        for i in range(_SIM_BITS)
-    )
+    hamming = F.bit_count(
+        F.col("a.h0").bitwiseXOR(F.col("b.h0"))
+    ) + F.bit_count(F.col("a.h1").bitwiseXOR(F.col("b.h1")))
     sig_pairs = (
         a.join(
             b,
@@ -454,9 +470,12 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.band_val") == F.col("b.band_val"))
             & (F.col("a.sig") < F.col("b.sig")),
         )
-        .select(F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
+        .select(
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+            hamming.cast("int").alias("hamming"),
+        )
         .dropDuplicates(["sig_a", "sig_b"])  # a pair may share several bands
-        .select("sig_a", "sig_b", hamming.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= _HAMMING_K)
     )
     # (a) identical signatures: hamming 0, pairs within the sig group.
