@@ -227,3 +227,15 @@ def test_components_match_union_find(spark):
             assert cid == min(comp), (doc, cid)
         else:
             assert cid == doc  # singleton
+
+
+def test_simhash_arrow_matches_expression_path(spark, sim_dir):
+    """The Arrow signature kernel must be bit-identical to the pure
+    expression formulation it replaced on the serving path (the DuckDB
+    oracle mirrors the expression semantics, so this equality is what keeps
+    the driver gate honest)."""
+    docs = spark.read.parquet(f"{sim_dir}/documents.parquet")
+    arrow = dedup._simhash_arrow_df(docs, "sig")
+    expr = dedup._simhash_expr_df(docs, "sig")
+    assert arrow.exceptAll(expr).count() == 0
+    assert expr.exceptAll(arrow).count() == 0
