@@ -239,3 +239,13 @@ def test_simhash_arrow_matches_expression_path(spark, sim_dir):
     expr = dedup._simhash_expr_df(docs, "sig")
     assert arrow.exceptAll(expr).count() == 0
     assert expr.exceptAll(arrow).count() == 0
+
+
+def test_shingle_arrow_matches_expression_path(spark, sim_dir):
+    """The Arrow shingle kernel must emit exactly the rows of the
+    expression formulation (which the DuckDB oracle mirrors)."""
+    docs = spark.read.parquet(f"{sim_dir}/documents.parquet")
+    arrow = dedup._shingle_rows_arrow(docs)
+    expr = dedup._shingle_rows_expr(docs)
+    assert arrow.exceptAll(expr).count() == 0
+    assert expr.exceptAll(arrow).count() == 0
