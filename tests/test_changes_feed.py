@@ -76,7 +76,11 @@ def test_compaction_is_not_a_change(spark, tmp_path):
 
 def test_multi_version_feed_is_net_change(spark, tmp_path):
     """v1 → v3 reports the NET change: an insert+update collapses to one
-    upsert at the final LSN; insert-then-delete collapses to one delete."""
+    upsert at the final LSN; an insert-then-delete whose whole lifecycle
+    falls inside the window emits NOTHING (the key is absent from both
+    endpoints' visible state, so any feed row would violate the
+    composition contract: read_at(v_from) + feed == read_at(v_to) with
+    every row load-bearing)."""
     t = make_table(spark, str(tmp_path / "lake"))
     t.merge(src_df(spark, [("r1", "keep", "k1", "insert", 1)]), 0)
     v1 = t.current().version
@@ -92,7 +96,6 @@ def test_multi_version_feed_is_net_change(spark, tmp_path):
     ch = feed(t, v1)
     assert ch == {
         ("r1", "x"): ("x2", 20, "upsert"),
-        ("r1", "y"): (None, 21, "delete"),
     }
 
 

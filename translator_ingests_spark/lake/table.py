@@ -1284,17 +1284,20 @@ class LakeTable:
             after = after.select(*keep)
             before = before.select(*keep)
         if before_empty:
-            # bootstrap / nothing-to-diff window: every after row is the
-            # change (no preimages, no vanished keys possible) — skip the
-            # diff aggregation entirely, so a full-table bootstrap poll is
-            # one scan with no shuffle at all
-            return after.withColumn(
-                "_change_type",
-                F.when(
-                    F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)),
-                    F.lit("delete"),
-                ).otherwise(F.lit("upsert")),
-            ).drop(TOMBSTONE_COL)
+            # bootstrap / nothing-to-diff window: every LIVE after row is
+            # the change (no preimages, no vanished keys possible) — skip
+            # the diff aggregation entirely, so a full-table bootstrap poll
+            # is one scan with no shuffle at all. Tombstones are NOT
+            # emitted: the key did not exist at v_from, so a delete would
+            # be a no-op the composition contract forbids (read_at(v_from)
+            # + feed must equal read_at(v_to) with every row load-bearing).
+            return (
+                after.filter(
+                    ~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))
+                )
+                .withColumn("_change_type", F.lit("upsert"))
+                .drop(TOMBSTONE_COL)
+            )
         # Both diff directions in ONE aggregation pass (each side holds at
         # most one row per key, so the signed row count is +1 =
         # postimage-only, -1 = preimage-only, 0 = carried over) instead of
@@ -1321,6 +1324,8 @@ class LakeTable:
         tagged = after.withColumn("__side", F.lit(1)).unionByName(
             before.withColumn("__side", F.lit(-1))
         )
+        is_tomb = F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))
+        key_win = Window.partitionBy(*s_to.key_cols)
         diff = (
             tagged.groupBy(*cols)
             .agg(F.sum("__side").alias("__d"))
@@ -1328,12 +1333,28 @@ class LakeTable:
             .withColumn(
                 "__has_post",
                 F.max(F.when(F.col("__d") > 0, 1).otherwise(0)).over(
-                    Window.partitionBy(*s_to.key_cols)
+                    key_win
                 ),
             )
+            # was the key VISIBLE (a live, non-tombstone row) at v_from?
+            # A post-side tombstone whose before-side row was itself a
+            # tombstone is a dead→dead transition (re-delete of an absent
+            # key, or an LSN bump from DML over a dropped-and-reinserted-
+            # and-redeleted key): the key is in neither endpoint's visible
+            # state, so emitting a delete would be spurious — harmless to
+            # an LWW applier, but a feed row that changes nothing violates
+            # the composition contract and (worse) carries a fresh LSN
+            # that can outrank a replica's live row on overlapping redelivery.
+            .withColumn(
+                "__live_pre",
+                F.max(
+                    F.when((F.col("__d") < 0) & ~is_tomb, 1).otherwise(0)
+                ).over(key_win),
+            )
         )
-        is_tomb = F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))
-        post = diff.filter(F.col("__d") > 0).withColumn(
+        post = diff.filter(
+            (F.col("__d") > 0) & (~is_tomb | (F.col("__live_pre") == 1))
+        ).withColumn(
             "_change_type",
             F.when(is_tomb, F.lit("delete")).otherwise(F.lit("upsert")),
         )
@@ -1355,6 +1376,7 @@ class LakeTable:
             ],
             F.col("__d"),
             F.col("__has_post"),
+            F.col("__live_pre"),
             F.lit("delete").alias("_change_type"),
         )
         out = post.unionByName(synth)
@@ -1363,7 +1385,7 @@ class LakeTable:
                 "_change_type", F.lit("update_preimage")
             )
             out = out.unionByName(pre)
-        return out.drop(TOMBSTONE_COL, "__d", "__has_post")
+        return out.drop(TOMBSTONE_COL, "__d", "__has_post", "__live_pre")
 
     @staticmethod
     def _files_overlapping(snap: Snapshot, buckets: list[int]) -> list[dict]:

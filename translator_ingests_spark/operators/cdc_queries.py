@@ -330,8 +330,10 @@ def cdc_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     lake (``LakeTable.changes``): the NET upserts/deletes from the
     mid-replay snapshot (batches 0..3 of 8 applied) to the final state,
     read bucket-pruned from only the files rewritten in between. The oracle
-    reproduces the feed relationally: a key changed iff its final LWW
-    winner's LSN falls in the second half of the log."""
+    reproduces the feed relationally as a strict net endpoint diff: a key
+    appears iff its VISIBLE state differs between the two endpoint LWW
+    states (winner-LSN inequality), so insert->delete lifecycles contained
+    entirely inside the window emit nothing."""
     eng = _replayed_engine(spark, sf_dir)
     # the snapshot that applied batch id 3 (in-order replay: batches 0..3)
     target = None
@@ -352,15 +354,30 @@ def cdc_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 CDC_CHANGES_SQL = _CDC_LOG_CTE + """
 , par AS (
   SELECT 4 * CAST(ceil(count(*) / 8.0) AS BIGINT) AS t FROM cdc
-), win AS (
+), win_to AS (
   SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
   FROM cdc
+), to_state AS (
+  SELECT repo, path, content, lsn, op FROM win_to WHERE rn = 1
+), win_from AS (
+  SELECT c.*, row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+  FROM cdc c, par WHERE c.lsn < par.t
+), from_state AS (
+  SELECT repo, path, lsn, op FROM win_from WHERE rn = 1
 )
-SELECT w.repo, w.path, w.content, w.lsn AS last_lsn,
-       CASE WHEN w.op = 'delete' THEN 'delete' ELSE 'upsert' END AS change_type
-FROM win w, par
-WHERE w.rn = 1 AND w.lsn >= par.t
-ORDER BY w.repo, w.path
+-- strict net endpoint diff (the changes() composition contract): a feed
+-- row exists iff the key's VISIBLE state differs between the endpoints.
+-- last_lsn advances with every applied event, so winner-LSN equality is
+-- row equality; keys whose whole insert->delete lifecycle falls inside
+-- the window (absent at both endpoints) emit NOTHING.
+SELECT t.repo, t.path, t.content, t.lsn AS last_lsn,
+       CASE WHEN t.op = 'delete' THEN 'delete' ELSE 'upsert' END AS change_type
+FROM to_state t LEFT JOIN from_state f
+  ON t.repo = f.repo AND t.path = f.path
+WHERE (t.op <> 'delete'
+       AND (f.repo IS NULL OR f.op = 'delete' OR f.lsn <> t.lsn))
+   OR (t.op = 'delete' AND f.repo IS NOT NULL AND f.op <> 'delete')
+ORDER BY t.repo, t.path
 """
 
 
