@@ -1,11 +1,13 @@
 """Maintenance-composition property: random interleavings of CDC applies
 with table-maintenance actions — full and incremental compaction,
-bucket-count evolution (rebucket), secondary clustering, predicate DML
-deletes, snapshot expiry — must leave the engine equal to a sequential
-Python oracle, keep every retained snapshot time-travel-exact, and keep
-the change feed COMPOSABLE:
+bucket-count evolution (rebucket), linear and z-order clustering,
+predicate DML deletes, snapshot expiry, and write-audit-publish cycles
+(staged applies that publish or roll back) — must leave the engine equal
+to a sequential Python oracle, keep every retained snapshot
+time-travel-exact, and keep the change feed COMPOSABLE over EVERY retained
+checkpoint pair:
 
-    read_at(v)  +  changes(v, head)   ==   read()      for every retained v
+    read_at(v1)  +  changes(v1, v2)   ==   read_at(v2)
 
 The round-4 advisor bug (spurious feed deletes synthesized from a
 range-overlap before side after a merge wrote a file spanning an untouched
@@ -24,7 +26,7 @@ from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from translator_ingests_spark.cdc import CdcEngine, EVENT_SCHEMA
-from translator_ingests_spark.lake import dml, maintenance
+from translator_ingests_spark.lake import dml, maintenance, wap
 
 _REPOS = ["r0", "r1", "r2"]
 _PATHS = ["a", "b", "c"]
@@ -44,15 +46,16 @@ def action_seqs(draw):
     for i in range(n_actions):
         kind = "apply" if i == 0 else draw(st.sampled_from(
             ["apply", "apply", "compact_full", "compact_inc",
-             "rebucket", "cluster", "delete_repo", "expire"]))
-        if kind == "apply":
+             "rebucket", "cluster", "zorder", "delete_repo", "expire",
+             "wap_publish", "wap_rollback"]))
+        if kind in ("apply", "wap_publish", "wap_rollback"):
             n = draw(st.integers(min_value=3, max_value=8))
             evs = [
                 (draw(_OPS), draw(st.sampled_from(_REPOS)),
                  draw(st.sampled_from(_PATHS)))
                 for _ in range(n)
             ]
-            actions.append(("apply", evs))
+            actions.append((kind, evs))
         elif kind == "delete_repo":
             actions.append(("delete_repo", draw(st.sampled_from(_REPOS))))
         elif kind == "rebucket":
@@ -83,7 +86,7 @@ def _compose(base: dict, feed_rows) -> dict:
 
 
 @pytest.mark.parametrize("mode", ["cow", "mor"])
-@settings(max_examples=3, deadline=None,
+@settings(max_examples=4, deadline=None,
           suppress_health_check=[HealthCheck.too_slow,
                                  HealthCheck.function_scoped_fixture])
 @given(action_seqs())
@@ -96,7 +99,7 @@ def test_maintenance_composition(spark, tmp_path_factory, mode, actions):
     checkpoints: dict = {}  # version -> oracle state at that version
     block = 0
     for act in actions:
-        if act[0] == "apply":
+        if act[0] in ("apply", "wap_publish", "wap_rollback"):
             base = block * _BLOCK
             block += 1
             evs = []
@@ -109,14 +112,29 @@ def test_maintenance_composition(spark, tmp_path_factory, mode, actions):
                     "schema_change": None, "source_partition": lsn % 2,
                     "source_offset": lsn, "extras": None,
                 })
-            eng.apply_log(spark.createDataFrame(evs, EVENT_SCHEMA),
-                          events_per_batch=_BLOCK)
-            for j, (op, repo, path) in enumerate(act[1]):
-                key = (repo, path)
-                if op == "delete":
-                    oracle.pop(key, None)
-                else:
-                    oracle[key] = (base + j, f"v{base + j}")
+            # WAP actions run the SAME apply behind a staged marker, then
+            # publish (events become visible: oracle applies them) or roll
+            # back (readers never saw them: oracle unchanged, LSN block
+            # burned) — interleaved with maintenance this sweeps the
+            # staged-chain x rewrite x feed-window interaction family
+            staged = act[0] != "apply"
+            eng.table.staged_writes = staged
+            try:
+                eng.apply_log(spark.createDataFrame(evs, EVENT_SCHEMA),
+                              events_per_batch=_BLOCK)
+                if act[0] == "wap_rollback":
+                    wap.rollback_staged(eng.table)
+                elif act[0] == "wap_publish":
+                    wap.publish_staged(eng.table)
+            finally:
+                eng.table.staged_writes = False
+            if act[0] != "wap_rollback":
+                for j, (op, repo, path) in enumerate(act[1]):
+                    key = (repo, path)
+                    if op == "delete":
+                        oracle.pop(key, None)
+                    else:
+                        oracle[key] = (base + j, f"v{base + j}")
         elif act[0] == "delete_repo":
             at_lsn = block * _BLOCK
             block += 1
@@ -132,36 +150,43 @@ def test_maintenance_composition(spark, tmp_path_factory, mode, actions):
             maintenance.rebucket(eng.table, act[1])
         elif act[0] == "cluster":
             maintenance.cluster_by(eng.table, ["lang"])
+        elif act[0] == "zorder":
+            maintenance.z_order_by(eng.table, ["lang", "commit"], bits=4)
         elif act[0] == "expire":
             maintenance.expire_snapshots(eng.table, keep_last=3)
-        checkpoints[eng.table.head().version] = dict(oracle)
+        # checkpoint at the READER-visible version: for a WAP action that
+        # is the published/rollback snapshot, never a staged chain link
+        checkpoints[eng.table.current().version] = dict(oracle)
 
     # 1) final state equals the sequential oracle
     head = _visible(eng.table.read())
     assert head == oracle
 
     retained = set(eng.table.history())
-    head_v = eng.table.head().version
-    for v, ostate in checkpoints.items():
-        if v not in retained:
-            continue  # expired endpoints are gone by design
+    ck = sorted(v for v in checkpoints if v in retained)
+    for v in ck:
         # 2) time travel is exact at every retained checkpoint, regardless
-        #    of later rewrites/rebuckets/expiry
-        assert _visible(eng.table.read_at(v)) == ostate, f"read_at({v})"
-        # 3) the feed composes: checkpoint state + net changes == head,
-        #    across windows containing arbitrary maintenance rewrites
-        if v == head_v:
-            continue
-        feed = eng.table.changes(v).select(
-            "repo", "path", "last_lsn", "content", "_change_type"
-        ).collect()
-        assert _compose(ostate, feed) == head, f"changes({v}, {head_v})"
-        # 3b) maintenance-only windows are not data changes: every feed row
-        #     must change the composed state (no spurious upserts/deletes)
-        for r in feed:
-            key = (r["repo"], r["path"])
-            if r["_change_type"] == "delete":
-                assert key in ostate, f"spurious delete {key} in ({v},{head_v})"
-            else:
-                assert ostate.get(key) != (r["last_lsn"], r["content"]), \
-                    f"no-op upsert {key} in ({v},{head_v})"
+        #    of later rewrites/rebuckets/expiry (expired ones are gone by
+        #    design and excluded above)
+        assert _visible(eng.table.read_at(v)) == checkpoints[v], f"read_at({v})"
+    # 3) the feed composes over EVERY retained checkpoint pair — not just
+    #    v -> head — so windows that start or end inside staged/rolled-back
+    #    regions, span rebuckets, or end on a maintenance rewrite are all
+    #    exercised
+    for i, v1 in enumerate(ck):
+        for v2 in ck[i + 1:]:
+            s1, s2 = checkpoints[v1], checkpoints[v2]
+            feed = eng.table.changes(v1, v2).select(
+                "repo", "path", "last_lsn", "content", "_change_type"
+            ).collect()
+            assert _compose(s1, feed) == s2, f"changes({v1}, {v2})"
+            # 3b) every feed row must change the composed state (no
+            #     spurious upserts/deletes — maintenance/rollback-only
+            #     windows are not data changes)
+            for r in feed:
+                key = (r["repo"], r["path"])
+                if r["_change_type"] == "delete":
+                    assert key in s1, f"spurious delete {key} in ({v1},{v2})"
+                else:
+                    assert s1.get(key) != (r["last_lsn"], r["content"]), \
+                        f"no-op upsert {key} in ({v1},{v2})"
