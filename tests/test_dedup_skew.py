@@ -249,3 +249,33 @@ def test_shingle_arrow_matches_expression_path(spark, sim_dir):
     expr = dedup._shingle_rows_expr(docs)
     assert arrow.exceptAll(expr).count() == 0
     assert expr.exceptAll(arrow).count() == 0
+
+
+def test_persist_swap_bounds_cached_copies(spark, skew_dir, tmp_path):
+    """The shared-subtree persists inside the dedup operators must not leak
+    one MEMORY_AND_DISK copy per invocation. Two regimes: a SAME-input
+    re-invocation shares one CacheManager entry (plan-equality dedup — the
+    swap must not drop it out from under the new handle), and a
+    DIFFERENT-input invocation releases the previous copy. release_cached()
+    frees everything."""
+    import shutil as _shutil
+
+    dedup.release_cached()
+    dedup.dedup_ngram_jaccard(spark, skew_dir).count()
+    first = dedup._CACHED["ngram_jaccard_groups"]
+    assert first.storageLevel.useMemory or first.storageLevel.useDisk
+    # same input => same analyzed plan => shared cache entry stays live
+    dedup.dedup_ngram_jaccard(spark, skew_dir).count()
+    second = dedup._CACHED["ngram_jaccard_groups"]
+    assert second.storageLevel.useMemory or second.storageLevel.useDisk
+    # different input => different plan => the previous copy is released
+    other = str(tmp_path / "other")
+    _shutil.copytree(f"{skew_dir}/documents.parquet",
+                     f"{other}/documents.parquet")
+    dedup.dedup_ngram_jaccard(spark, other).count()
+    third = dedup._CACHED["ngram_jaccard_groups"]
+    assert third.storageLevel.useMemory or third.storageLevel.useDisk
+    assert not (second.storageLevel.useMemory or second.storageLevel.useDisk)
+    dedup.release_cached()
+    assert dedup._CACHED == {}
+    assert not (third.storageLevel.useMemory or third.storageLevel.useDisk)

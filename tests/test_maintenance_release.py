@@ -96,6 +96,26 @@ def test_export_release_atomic_publish(spark, tmp_path, compression):
         assert manifest["version"] == t.current().version
 
 
+def test_export_release_recodec_removes_stale_sibling(spark, tmp_path):
+    """Re-exporting the SAME snapshot under a different codec must leave
+    exactly one archive in the release dir — a directory-scanning consumer
+    can never pick up the superseded sibling."""
+    if not zstd_available():
+        pytest.skip("no zstd binary on PATH")
+    t = _table_with_history(spark, str(tmp_path / "t"), n_batches=2)
+    releases = str(tmp_path / "releases")
+    rel_dir = export_release(t, releases, compression="gz")
+    assert os.path.exists(os.path.join(rel_dir, "state.tar.gz"))
+    rel_dir2 = export_release(t, releases, compression="zstd")
+    assert rel_dir2 == rel_dir
+    assert os.path.exists(os.path.join(rel_dir, "state.tar.zst"))
+    assert not os.path.exists(os.path.join(rel_dir, "state.tar.gz"))
+    latest = read_latest_release(releases)
+    assert latest["archive"].endswith("state.tar.zst")
+    with open_release(latest["archive"]) as tf:
+        assert "snapshot.json" in tf.getnames()
+
+
 def test_version_resolver_fallback(tmp_path):
     vr = VersionResolver(str(tmp_path / "state"))
     v, fb = vr.resolve("ctd", probe=lambda: "2026-07-01")

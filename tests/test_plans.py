@@ -115,7 +115,9 @@ def test_no_collect_in_operator_sources():
         for i, line in enumerate(lines, 1):
             if ".collect()" not in line:
                 continue
-            window = lines[max(0, i - 4):i + 1]
+            # i is 1-based, so lines[i-4:i] = the call line (index i-1)
+            # plus the 3 lines above it — and nothing after the call
+            window = lines[max(0, i - 4):i]
             if not any("# bounded-collect:" in ln for ln in window):
                 offenders.append(f"{rel}:{i}")
     assert not offenders, offenders

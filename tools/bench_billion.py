@@ -14,8 +14,8 @@ in BENCH/BASELINE.md, in the two regimes a production table actually sees:
   for: snapshot load must stay O(touched segments) and driver heap flat —
   not O(total history). Sampled throughout: driver JVM heap after
   System.gc(), manifest dir size/count, and a COLD table open (fresh
-  LakeTable handle, no warm segment cache) timing ``current()`` + full
-  file-list materialization.
+  LakeTable handle, process-global segment LRU cleared first) timing
+  ``current()`` + full file-list materialization.
 
 The log never exists in full on local disk (it wouldn't fit: ~109 B/event
 snappy parquet => ~109 GB): it is generated and materialized to zstd
@@ -85,6 +85,7 @@ def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     from translator_ingests_spark.cdc.apply import CdcEngine
     from translator_ingests_spark.cdc.generator import generate_event_log
+    from translator_ingests_spark.lake import table as table_mod
     from translator_ingests_spark.lake.table import LakeTable
     from translator_ingests_spark.session import get_spark
     from tools.probe_membw import probe as env_probe
@@ -142,8 +143,12 @@ def main() -> None:
 
     def sample(m: str, events_applied: int, phase: str) -> None:
         eng = engines[m]
+        # genuinely cold: a fresh handle alone still hits the process-global
+        # segment LRU the engine's own commits populate — clear it so the
+        # timed open pays the real pointer + snapshot json + segment reads
+        table_mod._SEGMENT_CACHE.clear()
         t0 = time.monotonic()
-        cold = LakeTable(spark, eng.table.root)   # no warm segment cache
+        cold = LakeTable(spark, eng.table.root)
         snap = cold.current()
         n_files = len(snap.files)                 # full file-list materialize
         cold_open_s = time.monotonic() - t0
@@ -264,7 +269,14 @@ def main() -> None:
                "env": env0, "results": results}
     out = os.path.join(REPO, "BENCH", "billion.json")
     with open(out, "w") as fh:
+        # superset of the incremental flush shape: write_billion_md reads
+        # the top-level env/plan/gen_elapsed_s keys either way
         json.dump({"samples": {m: state[m]["samples"] for m in modes},
+                   "gen_elapsed_s": round(gen_s, 1),
+                   "plan": {"total": total, "bulk_batch": bulk_batch,
+                            "tail_batch": TAIL_BATCH,
+                            "tail_events": tail_events},
+                   "env": env0,
                    "summary": summary}, fh, indent=1)
     print(json.dumps({k: v for k, v in summary.items() if k != "results"}))
     print(f"wrote {out}")

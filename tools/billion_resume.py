@@ -32,6 +32,7 @@ def main() -> None:
 
     from translator_ingests_spark.cdc.apply import CdcEngine
     from translator_ingests_spark.cdc.generator import generate_event_log
+    from translator_ingests_spark.lake import table as table_mod
     from translator_ingests_spark.lake.table import LakeTable
     from translator_ingests_spark.session import get_spark
 
@@ -82,11 +83,19 @@ def main() -> None:
             eng.apply_log(log, events_per_batch=PER_BATCH, total_events=c_n,
                           cache_log=False)
             dt = time.monotonic() - t0
-            if eng.table.head().last_batch_id > before:  # not a replay
+            after = eng.table.head().last_batch_id
+            if after > before:  # at least one NEW batch committed
                 bulk2_s[m] += dt
-                applied[m] += c_n
+                # a boundary chunk can be PARTIALLY replayed (some batches
+                # at or below the watermark skip as no-ops): credit only
+                # the newly-committed batches' events, never the full
+                # chunk, or the boundary chunk inflates events/sec
+                applied[m] += min(c_n, (after - before) * PER_BATCH)
         shutil.rmtree(chunk_dir, ignore_errors=True)
         for m, eng in engines.items():
+            # clear the process-global segment LRU so the timed open is
+            # genuinely cold (pointer + snapshot json + segment reads)
+            table_mod._SEGMENT_CACHE.clear()
             t0 = time.monotonic()
             cold = LakeTable(spark, eng.table.root)
             snap = cold.current()

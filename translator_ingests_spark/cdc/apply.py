@@ -245,6 +245,8 @@ class CdcEngine:
                 return self.table.merge(source, **kwargs)
             except ConcurrentModificationError as err:
                 last_err = err
+                if attempt == 2:
+                    break  # final attempt: no retry follows — surface now
                 # linear backoff before recomputing: a fixed-cadence racer
                 # (a compaction loop on the same hot buckets) would
                 # otherwise win every immediate retry too — yielding one

@@ -27,16 +27,21 @@ def zstd_available() -> bool:
 
 
 def export_release(table: LakeTable, releases_root: str,
-                   compression: str = "auto") -> str:
+                   compression: str = "gz") -> str:
     """Export the current snapshot: one tar.{gz,zst} of the live data files
     + snapshot manifest, then atomically publish it as ``latest``.
 
     ``compression``: ``"zstd"`` matches the reference's release sink
     (zstd level 12, /root/reference/src/translator_ingest/release.py:50-62)
     by piping an uncompressed tar through the external ``zstd`` binary;
-    ``"gz"`` stays stdlib-only; ``"auto"`` (default) picks zstd when the
-    binary is present, else gz — releases stay producible on hosts without
-    the codec.
+    ``"gz"`` (default) stays stdlib-only; ``"auto"`` picks zstd when the
+    binary is present, else gz. The default is deliberately gz, NOT auto:
+    the artifact format must not depend on what happens to be on the
+    producing host's PATH — a consumer without the zstd binary cannot open
+    a ``.zst`` release, so opting into zstd is an explicit pipeline
+    decision, not an environment accident. Re-exporting the same snapshot
+    under a different codec removes the stale sibling archive so directory
+    scanners can never pick up the superseded one.
 
     Returns the release directory path. The archive is built in a temp
     location and moved into place, and the ``latest.json`` pointer swap is
@@ -72,6 +77,12 @@ def export_release(table: LakeTable, releases_root: str,
                        check=True)
         tmp_archive += ".zst"
     os.replace(tmp_archive, archive_path)
+    # drop a stale sibling archive from an earlier export of the SAME
+    # snapshot under the other codec — latest.json points at exactly one
+    for other in ("gz", "zst"):
+        sibling = os.path.join(rel_dir, f"state.tar.{other}")
+        if other != ext and os.path.exists(sibling):
+            os.remove(sibling)
 
     # atomic publish: write pointer to temp then rename over latest.json
     pointer = {"version": version, "release_dir": rel_dir, "archive": archive_path}

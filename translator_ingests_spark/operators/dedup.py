@@ -23,6 +23,60 @@ from pyspark.sql import functions as F
 
 _TOKEN_RE = "[^a-zA-Z0-9]+"
 
+# Persisted intermediates, keyed by operator tag. A dedup operator persists
+# its shared subtree (multiple consumers branch from it) but cannot
+# unpersist before returning — the returned DataFrame depends on the
+# cached plan. Left alone, each invocation leaks one MEMORY_AND_DISK copy
+# per call (bench.py alone calls each query 4× in one session). The swap
+# registry bounds that to ONE live copy per operator: the next call of the
+# same operator releases the previous call's handle (the old returned DF
+# stays correct — it just recomputes if re-evaluated), and callers that
+# want a clean session call :func:`release_cached`.
+_CACHED: dict[str, DataFrame] = {}
+
+
+def _register_cached(tag: str, df: DataFrame) -> DataFrame:
+    """Record an already-persisted ``df`` under ``tag``, releasing the
+    previous holder of the tag — UNLESS the two share an analyzed plan:
+    Spark's CacheManager dedupes cache entries on plan equality, so a
+    same-plan re-invocation shares one entry and unpersisting the old
+    handle would drop the new one's data too (no leak in that case — one
+    entry serves both)."""
+    prev = _CACHED.pop(tag, None)
+    if prev is not None:
+        try:
+            same = (
+                prev._jdf.queryExecution().analyzed()
+                .sameResult(df._jdf.queryExecution().analyzed())
+            )
+        except Exception:
+            same = False
+        if not same:
+            try:
+                prev.unpersist()
+            except Exception:
+                pass
+    _CACHED[tag] = df
+    return df
+
+
+def _persist_swap(tag: str, df: DataFrame, storage_level=None) -> DataFrame:
+    from pyspark import StorageLevel
+
+    return _register_cached(
+        tag, df.persist(storage_level or StorageLevel.MEMORY_AND_DISK)
+    )
+
+
+def release_cached() -> None:
+    """Unpersist every intermediate the dedup operators have cached."""
+    for df in list(_CACHED.values()):
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _CACHED.clear()
+
 _TOKS_SQL = (
     "list_filter(regexp_split_to_array(lower(text), '[^a-zA-Z0-9]+'), x -> x <> '')"
 )
@@ -210,12 +264,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # MEMORY_AND_DISK: at scale this is ~the group shuffle's output, so the
     # spill cost is bounded by one extra shuffle write, strictly cheaper
     # than recomputing the upstream.
-    from pyspark import StorageLevel
-
-    groups = (
-        sh.groupBy("shingle")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    groups = _persist_swap(
+        "ngram_jaccard_groups",
+        sh.groupBy("shingle").agg(
+            F.sort_array(F.collect_list("doc_id")).alias("ds")
+        ),
     )
     # per-doc kept-shingle counts: one row per doc — AQE broadcasts this
     # side when it fits (it always does relative to the pair stream)
@@ -537,9 +590,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # consumers branch from it (dsig, both sides of the identical-sig
     # self-join, and the cross expansion) — Spark materializes shared
     # subtrees once per consumer, so without the persist the fold runs 4×.
-    from pyspark import StorageLevel
-
-    sigs = _simhash_df(docs, "sig").persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = _persist_swap("simhash_sigs", _simhash_df(docs, "sig"))
     # the Hamming refine compares PACKED signature halves (string → two
     # 32-bit ints, converted once per distinct sig): hamming = popcount of
     # the xor. The naive formulation — 64 chained CASE WHEN substring(a,i,1)
@@ -694,12 +745,17 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         changed = new_labels.agg(F.sum("__changed")).collect()[0][0]  # bounded-collect: one scalar
         labels.unpersist()  # no-op on the first (uncached) round
+        final_cached = new_labels
         labels = new_labels.drop("__changed")
         if not changed:
             break
     else:
         raise RuntimeError("component propagation did not converge in 24 rounds")
     edges.unpersist()
+    # the returned DF depends on the last round's persisted labels; hand
+    # that handle to the swap registry so the next invocation (or
+    # release_cached) frees it instead of leaking one copy per call
+    _register_cached("components_labels", final_cached)
     return labels.orderBy("doc_id")
 
 
