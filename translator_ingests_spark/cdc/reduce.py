@@ -1,4 +1,4 @@
-"""Within-batch last-writer-wins reduction with explicit hot-key salting.
+"""Within-batch last-writer-wins reduction, structurally skew-proof.
 
 Semantics: for each key, keep the single event with the greatest
 ``(lsn, op_rank, row_hash)`` — a fully deterministic total order, so duplicate
