@@ -154,14 +154,17 @@ def test_consumer_redelivers_until_commit_and_coalesces(spark, tmp_path):
 
 
 def test_consumer_cursor_survives_restart_and_expiry_raises(spark, tmp_path):
+    # pin_retention=False: this test exercises the UNPINNED consumer's
+    # offset-out-of-range path (the pinned default is covered by
+    # tests/test_cursor_retention.py)
     root = str(tmp_path / "l")
     t = seed(spark, root)
     ck = str(tmp_path / "ckpt")
-    c = ChangesConsumer(t, ck)
+    c = ChangesConsumer(t, ck, pin_retention=False)
     c.bootstrap()
     pos = c.position()
     # a fresh consumer instance resumes from the persisted cursor
-    c2 = ChangesConsumer(LakeTable(spark, root), ck)
+    c2 = ChangesConsumer(LakeTable(spark, root), ck, pin_retention=False)
     assert c2.position() == pos
     # age the cursor out of retained history
     for b in range(1, 5):

@@ -102,6 +102,7 @@ class CdcEngine:
         auto_compact_every: int | None = 16,
         auto_expire_every: int | None = None,
         expire_keep_last: int = 16,
+        expire_max_cursor_lag: int | None = None,
         small_batch_events: int = 1_000_000,
         write_mode: str = "cow",
         partial_updates: bool = False,
@@ -133,12 +134,17 @@ class CdcEngine:
         # measured ~90 GB of dead files (the round-5 billion run exhausted
         # its disk exactly this way). Default OFF: expiry truncates time
         # travel and the change feed to the retained window, so the cadence
-        # must be an explicit operator choice coordinated with downstream
-        # changes() consumers (lake/derived.py replicas) — same trade as
-        # Delta VACUUM vs CDF retention. Long-running loops should pass
-        # e.g. auto_expire_every=64, expire_keep_last>=the consumers' lag.
+        # must be an explicit operator choice — same trade as Delta VACUUM
+        # vs CDF retention. Long-running loops should pass e.g.
+        # auto_expire_every=64. Downstream changes() consumers need no hand
+        # coordination: every registered consumer cursor (ChangesConsumer's
+        # pin_retention default, lake/refs.register_cursor) pins its
+        # snapshot through the expiry, bounded by expire_max_cursor_lag
+        # (None = a lagging consumer may pin history indefinitely; set it
+        # to evict abandoned registrations, which then re-bootstrap).
         self.auto_expire_every = auto_expire_every
         self.expire_keep_last = expire_keep_last
+        self.expire_max_cursor_lag = expire_max_cursor_lag
         # batches at or below this many valid events reduce via one max_by
         # job (the decomposed winners plan's fixed cost never amortizes
         # there — see lww_reduce's `simple` path); larger batches take the
@@ -531,7 +537,8 @@ class CdcEngine:
                             # of in-flight fence-racing writers stay behind
                             # the orphan age gate
                             expire_snapshots(
-                                self.table, keep_last=self.expire_keep_last
+                                self.table, keep_last=self.expire_keep_last,
+                                max_cursor_lag=self.expire_max_cursor_lag,
                             )
                     unit_id += 1
                     if max_units is not None and unit_id - base_unit >= max_units:

@@ -10,6 +10,7 @@ folding tombstones out once no retained snapshot needs them.
 from __future__ import annotations
 
 import os
+import warnings
 
 from pyspark.sql import functions as F
 
@@ -21,12 +22,25 @@ from translator_ingests_spark.lake.table import (
 
 
 def expire_snapshots(
-    table: LakeTable, keep_last: int = 2, orphan_grace_s: float = 3600.0
+    table: LakeTable, keep_last: int = 2, orphan_grace_s: float = 3600.0,
+    respect_cursors: bool = True, max_cursor_lag: int | None = None,
 ) -> dict:
     """Drop all but the newest ``keep_last`` snapshots and delete data files
     referenced by no retained snapshot. The current pointer is never
     touched; deletion order (files before manifests) keeps every retained
     snapshot readable at all times.
+
+    ``respect_cursors`` (default on) additionally retains every snapshot a
+    registered change-feed consumer is parked at
+    (:func:`translator_ingests_spark.lake.refs.list_cursors`): the
+    consumer's next ``changes(cursor, head)`` poll is an endpoint diff, so
+    pinning exactly the cursor snapshot — never the commits in between —
+    keeps incremental consumption servable while history between cursor
+    and the ``keep_last`` window still expires. ``max_cursor_lag`` bounds
+    how much history an abandoned consumer can pin: a cursor more than
+    that many VERSIONS behind head is not pinned (warned — that consumer
+    re-bootstraps), so one dead registration cannot hold the table's
+    garbage hostage forever.
 
     Unreferenced files fall in two classes with different proof obligations:
     files referenced by an EXPIRED snapshot are known garbage (their only
@@ -38,19 +52,37 @@ def expire_snapshots(
     than ``orphan_grace_s`` (Iceberg's remove-orphan-files age gate)."""
     import time as _time
 
-    from translator_ingests_spark.lake.refs import list_tags
+    from translator_ingests_spark.lake.refs import list_cursors, list_tags
 
     history = table.history()
     keep = set(history[-keep_last:])
     # the whole staged chain head→published is load-bearing: current()'s
     # marker walk reads every snapshot on it, and publish may land any prefix
     snap = table.head()
+    head_version = snap.version
     keep.add(snap.version)
     while snap.parent is not None and table.is_staged(snap.version):
         snap = table.snapshot_at(snap.parent)
         keep.add(snap.version)
     # tagged snapshots are load-bearing regardless of age (refs.py)
     keep.update(list_tags(table).values())
+    if respect_cursors:
+        retained = set(history)
+        for cname, cv in list_cursors(table).items():
+            if cv not in retained:
+                # already expired (registered after the fact, or a prior
+                # run with a lag bound let it go): nothing to pin — the
+                # consumer hits CursorExpiredError and re-bootstraps
+                continue
+            if max_cursor_lag is not None and head_version - cv > max_cursor_lag:
+                warnings.warn(
+                    f"consumer {cname!r} cursor v{cv} lags head v{head_version} "
+                    f"beyond max_cursor_lag={max_cursor_lag}; not pinned — "
+                    "it will need to re-bootstrap",
+                    stacklevel=2,
+                )
+                continue
+            keep.add(cv)
     if len(history) <= len(keep):
         return {"snapshots_removed": 0, "files_removed": 0, "segments_removed": 0}
 

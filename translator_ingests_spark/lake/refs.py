@@ -62,3 +62,61 @@ def read_tag(table: LakeTable, name: str) -> DataFrame:
     if name not in tags:
         raise KeyError(f"unknown tag: {name!r}")
     return table.read_at(tags[name])
+
+
+# ---------------------------------------------------------------------------
+# consumer cursors — retention pins for incremental change-feed consumers
+# ---------------------------------------------------------------------------
+# A registered cursor is the Kafka consumer-group-offset analog for snapshot
+# retention: `expire_snapshots` keeps every registered cursor's snapshot
+# (manifest + its data files) alive so the consumer's NEXT incremental poll
+# — `changes(cursor, head)`, an endpoint diff that reads only the two
+# pinned manifests and their files — can still be served, however far the
+# `keep_last` window has moved on. ChangesConsumer registers automatically
+# on bootstrap/commit (`pin_retention=True`), which closes the documented
+# coordination trade of `CdcEngine.auto_expire_every`: the expiry cadence
+# no longer has to be hand-sized to the slowest downstream consumer's lag.
+#
+# Unlike tags (one shared refs.json), each cursor is its own tiny JSON under
+# `<root>/cursors/` — consumers commit concurrently and a shared
+# read-modify-write file would lose updates between two racing consumers;
+# per-name atomic replace makes every registration independent. The
+# registry key is the consumer NAME: names must be unique per table.
+
+
+def _cursors_dir(table: LakeTable) -> str:
+    return os.path.join(table.root, "cursors")
+
+
+def register_cursor(table: LakeTable, name: str, version: int) -> None:
+    """Pin ``name``'s consumer cursor at ``version`` (must be a committed
+    snapshot). Re-registering moves the pin — forward OR backward (the
+    consumer owns its own regression rules; the registry just records)."""
+    table.snapshot_at(version)  # existence check, same contract as tag()
+    d = _cursors_dir(table)
+    os.makedirs(d, exist_ok=True)
+    _atomic_write_json(os.path.join(d, f"{name}.json"), {"version": version})
+
+
+def list_cursors(table: LakeTable) -> dict[str, int]:
+    """All registered consumer cursors as {name: version}."""
+    d = _cursors_dir(table)
+    if not os.path.isdir(d):
+        return {}
+    out: dict[str, int] = {}
+    for fn in sorted(os.listdir(d)):
+        if not fn.endswith(".json"):
+            continue
+        with open(os.path.join(d, fn)) as fh:
+            out[fn[: -len(".json")]] = int(json.load(fh)["version"])
+    return out
+
+
+def drop_cursor(table: LakeTable, name: str) -> None:
+    """Remove a consumer's retention pin (decommissioning the consumer).
+    Unknown names are a no-op — drop must be idempotent so a consumer
+    teardown can always run it."""
+    try:
+        os.remove(os.path.join(_cursors_dir(table), f"{name}.json"))
+    except FileNotFoundError:
+        pass

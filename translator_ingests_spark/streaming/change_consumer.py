@@ -15,8 +15,13 @@ serves `table.changes(cursor, current)` batches:
   guard (the batch is keyed by ``(v_from, v_to]`` for the sink to dedup on);
 - a cursor older than the table's retained history (GC'd snapshot) raises
   :class:`CursorExpiredError` — the consumer must rebuild from a full read,
-  the Kafka offset-out-of-range analog. Pin the consumer's floor with a tag
-  (:mod:`translator_ingests_spark.lake.refs`) to prevent this.
+  the Kafka offset-out-of-range analog. By default the consumer prevents
+  this itself: ``pin_retention=True`` registers the cursor in the SOURCE
+  table's retention registry (:func:`lake.refs.register_cursor`) on every
+  bootstrap/commit, and ``expire_snapshots`` keeps registered cursor
+  snapshots alive (bounded by its ``max_cursor_lag``) — so the ingest
+  side's auto-expiry cadence (``CdcEngine.auto_expire_every``) no longer
+  has to be hand-coordinated with the slowest consumer's lag.
 """
 
 from __future__ import annotations
@@ -42,9 +47,15 @@ class ChangesConsumer:
         name: str = "consumer",
         include_preimage: bool = False,
         columns: list[str] | None = None,
+        pin_retention: bool = True,
     ):
         self.table = table
         self.name = name
+        # register the cursor as a retention pin in the source table so GC
+        # (expire_snapshots) keeps the snapshot this consumer will diff
+        # FROM on its next poll; names must be unique per table — two
+        # consumers sharing a name would clobber each other's pins
+        self.pin_retention = pin_retention
         # preimage rows (``_change_type='update_preimage'``) make batches
         # subtractable — what incremental aggregate maintenance needs
         # (lake/derived.py); plain replication leaves this off
@@ -65,6 +76,19 @@ class ChangesConsumer:
 
     def _advance(self, version: int) -> None:
         _atomic_write_json(self._cursor_path, {"version": version})
+        if self.pin_retention:
+            from translator_ingests_spark.lake.refs import register_cursor
+
+            # racing GC window: the local cursor is durable before the pin
+            # lands, so a concurrent expire between the two writes can at
+            # worst expire THIS version once — the consumer then re-bootstraps
+            # (at-least-once contract unchanged); every later poll is pinned.
+            # A version already expired by that race fails register's
+            # existence check — skip: the pin would protect nothing.
+            try:
+                register_cursor(self.table, self.name, version)
+            except FileNotFoundError:
+                pass
 
     # -- consumption ---------------------------------------------------------
     def bootstrap(self) -> DataFrame:
