@@ -66,6 +66,12 @@ def main(argv: list[str] | None = None) -> int:
     exp.add_argument("--orphan-grace", type=float, default=3600.0,
                      help="seconds an UNREFERENCED file must be old before "
                           "GC may assume it is not an in-flight writer's")
+    exp.add_argument("--max-cursor-lag", type=int, default=None,
+                     help="evict registered consumer pins more than this "
+                          "many versions behind head (default: pins hold)")
+    exp.add_argument("--ignore-cursors", action="store_true",
+                     help="expire without retaining registered consumer "
+                          "cursors (they will re-bootstrap)")
     sub.add_parser("publish")   # write-audit-publish: make staged visible
     sub.add_parser("rollback")  # discard the staged suffix
     rep = sub.add_parser("sync-replica")
@@ -151,7 +157,9 @@ def main(argv: list[str] | None = None) -> int:
         out.update(version=snap.version, operation=snap.operation)
     elif args.cmd == "expire":
         res = maintenance.expire_snapshots(
-            table, keep_last=args.keep_last, orphan_grace_s=args.orphan_grace
+            table, keep_last=args.keep_last, orphan_grace_s=args.orphan_grace,
+            respect_cursors=not args.ignore_cursors,
+            max_cursor_lag=args.max_cursor_lag,
         )
         out.update(version=table.current().version, **res)
     elif args.cmd in ("publish", "rollback"):

@@ -154,6 +154,70 @@ def test_engine_auto_expiry_respects_registered_consumer(spark, tmp_path):
     assert v_from not in eng.table.history()
 
 
+def test_aggregates_get_distinct_default_pins(spark, tmp_path):
+    # two IncrementalAggregates over ONE source must not share a registry
+    # name: a static default would clobber each other's retention pins and
+    # expose whichever lags to GC. Defaults derive from the state root.
+    from translator_ingests_spark.lake.derived import IncrementalAggregate
+
+    t = seed(spark, str(tmp_path / "l"))
+    a1 = IncrementalAggregate(spark, t, str(tmp_path / "agg1"),
+                              group_cols=["repo"], sums={"s": "last_lsn"})
+    a2 = IncrementalAggregate(spark, t, str(tmp_path / "agg2"),
+                              group_cols=["repo"], sums={"s": "last_lsn"})
+    assert a1.consumer.name != a2.consumer.name
+    a1.refresh()
+    for b in range(1, 4):
+        t.merge(src(spark, [("r1", "a", f"p{b}", "update", 1000 + b)]),
+                batch_id=b)
+    # only a1 has refreshed: its pin must survive an expiry even while a2
+    # (bootstrapping later) registers its own
+    expire_snapshots(t, keep_last=1)
+    a2.refresh()
+    assert set(refs.list_cursors(t)) == {a1.consumer.name, a2.consumer.name}
+    a1.refresh()
+    want = {(r["repo"], r["n_rows"], r["s"]) for r in a1.recomputed().collect()}
+    assert {(r["repo"], r["n_rows"], r["s"]) for r in a1.read().collect()} == want
+    assert {(r["repo"], r["n_rows"], r["s"]) for r in a2.read().collect()} == want
+
+
+def test_bootstrap_after_v0_expired(spark, tmp_path):
+    # consumers created AFTER snapshot v0 has been GC'd (routine under
+    # auto-expiry) must still bootstrap: the changes(0, head) trick is not
+    # servable, so both derived-table flavors fall back to a full-state
+    # bootstrap stamped with the same exactly-once batch id
+    from translator_ingests_spark.lake.derived import (
+        IncrementalAggregate, create_replica, sync_replica,
+    )
+
+    t = seed(spark, str(tmp_path / "l"))
+    for b in range(1, 4):
+        t.merge(src(spark, [("r1", "a", f"p{b}", "update", 1000 + b)]),
+                batch_id=b)
+    expire_snapshots(t, keep_last=1)
+    assert 0 not in t.history()
+
+    agg = IncrementalAggregate(spark, t, str(tmp_path / "agg"),
+                               group_cols=["repo"], sums={"s": "last_lsn"})
+    assert agg.refresh() >= 1
+    key = lambda df: {(r["repo"], r["n_rows"], r["s"]) for r in df.collect()}
+    assert key(agg.read()) == key(agg.recomputed())
+
+    dst = create_replica(spark, t, str(tmp_path / "replica"))
+    cons = ChangesConsumer(t, str(tmp_path / "ckpt"), name="rep")
+    assert sync_replica(t, dst, cons) >= 1
+    rows = lambda df: {(r["repo"], r["path"], r["content"])
+                       for r in df.collect()}
+    assert rows(dst.read()) == rows(t.read())
+
+    # both keep tracking incrementally after the fallback bootstrap
+    t.merge(src(spark, [("r2", "a", "zz", "update", 5000)]), batch_id=9)
+    agg.refresh()
+    sync_replica(t, dst, cons)
+    assert key(agg.read()) == key(agg.recomputed())
+    assert rows(dst.read()) == rows(t.read())
+
+
 def test_replica_sync_survives_aggressive_expiry(spark, tmp_path):
     # end-to-end: a derived replica's consumer (pinned by default) stays
     # serviceable across an expire cadence tighter than its poll cadence

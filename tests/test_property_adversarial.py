@@ -173,12 +173,20 @@ def test_derived_tables_track_adversarial_stream(spark, tmp_path_factory, mode,
         for a in aggs:
             a.refresh()
 
+    from translator_ingests_spark.lake.maintenance import expire_snapshots
+
     half = max(1, (len(events) * 2) // 3)
     eng.apply_log(spark.createDataFrame(events[:half], EVENT_SCHEMA),
                   events_per_batch=3)
     sync_all()
+    # aggressive mid-stream snapshot expiry: every consumer cursor (the
+    # replica's and both aggregates') is registered, so keep_last=1 must
+    # NOT break incremental consumption — the pins hold exactly the
+    # snapshots the next polls diff from
+    expire_snapshots(eng.table, keep_last=1)
     eng.apply_log(spark.createDataFrame(events[half:], EVENT_SCHEMA),
                   events_per_batch=3)
+    expire_snapshots(eng.table, keep_last=1)
     sync_all()
 
     assert _rows(dst.read()) == _rows(eng.table.read())

@@ -80,10 +80,6 @@ def sync_replica(src: LakeTable, dst: LakeTable, consumer: ChangesConsumer) -> i
             "sync_replica needs a postimage-only consumer "
             "(include_preimage=False): preimage rows are not merge events"
         )
-    if consumer.position() is None:
-        # bootstrap the cursor at v0 so the first poll ships the full state
-        consumer.commit(0)
-
     def _apply(df: DataFrame, v_from: int, v_to: int) -> None:
         src_schema = src.snapshot_at(v_to).schema
         src_types = {f.name: f.type for f in src_schema.fields}
@@ -156,7 +152,25 @@ def sync_replica(src: LakeTable, dst: LakeTable, consumer: ChangesConsumer) -> i
         finally:
             source.unpersist()
 
-    return consumer.process_available(_apply)
+    boot = 0
+    if consumer.position() is None:
+        try:
+            # bootstrap the cursor at v0 so the first poll ships the full
+            # state as one pruned changes() batch
+            src.snapshot_at(0)
+            consumer.commit(0)
+        except FileNotFoundError:
+            # v0 already GC'd — routine once auto-expiry runs: ship the
+            # current full visible state as the bootstrap batch instead.
+            # v_from = v_to makes _apply's field-identity checks compare
+            # the snapshot to itself (no-op), and the batch-id guard makes
+            # a crash-redelivered bootstrap idempotent.
+            snap_v = src.current().version
+            full = src.read_at(snap_v).withColumn(_CHANGE_COL, F.lit("upsert"))
+            _apply(full, snap_v, snap_v)
+            consumer.commit(snap_v)
+            boot = 1
+    return boot + consumer.process_available(_apply)
 
 
 # ---------------------------------------------------------------------------
@@ -221,7 +235,7 @@ class IncrementalAggregate:
         maxes: dict[str, str] | None = None,
         mins: dict[str, str] | None = None,
         count_col: str = "n_rows",
-        name: str = "agg",
+        name: str | None = None,
         num_buckets: int = 16,
         auto_strategy: bool = True,
     ):
@@ -256,6 +270,17 @@ class IncrementalAggregate:
                 ]
             )
         )
+        if name is None:
+            # consumer names key the SOURCE table's retention-pin registry
+            # (lake/refs.register_cursor), so two aggregates over one source
+            # must not share a name — a static default ("agg") would make
+            # them clobber each other's pins and expose the laggard to GC.
+            # Derive a stable per-aggregate default from the state root.
+            import hashlib as _hashlib
+
+            name = "agg-" + _hashlib.sha256(
+                os.path.abspath(root).encode()
+            ).hexdigest()[:8]
         self.consumer = ChangesConsumer(
             src,
             os.path.join(root, "cursor"),
@@ -317,16 +342,33 @@ class IncrementalAggregate:
         """Apply every pending change batch; returns batches applied."""
         applied = self.state.head().last_batch_id
         pos = self.consumer.position()
+        boot = 0
         if pos is None:
-            # bootstrap: cursor at v0 → the first poll's "changes" are the
-            # full state and every row is an insert (no preimages exist)
-            self.consumer.commit(max(applied, 0))
+            if applied > 0:
+                # crash before the very first cursor commit: the state is
+                # the authority — start exactly where the arithmetic left off
+                self.consumer.commit(applied)
+            else:
+                try:
+                    # bootstrap: cursor at v0 → the first poll's "changes"
+                    # are the full state and every row is an insert
+                    self.src.snapshot_at(0)
+                    self.consumer.commit(0)
+                except FileNotFoundError:
+                    # v0 already GC'd — routine once auto-expiry runs, so
+                    # the v0 changes() trick is not servable: bootstrap by
+                    # full regroup of the current visible state instead
+                    # (same exactly-once stamp), then consume incrementally
+                    v = self.src.current().version
+                    self._recompute_full(v)
+                    self.consumer.commit(v)
+                    boot = 1
         elif applied > pos:
             # crash between state merge and cursor commit: the state is the
             # authority — fast-forward the cursor so the next poll starts
             # exactly where the arithmetic left off
             self.consumer.commit(applied)
-        return self.consumer.process_available(self._apply_batch)
+        return boot + self.consumer.process_available(self._apply_batch)
 
     def _apply_batch(self, df: DataFrame, v_from: int, v_to: int) -> None:
         snap = self.state.head()
