@@ -80,6 +80,37 @@ def test_zorder_folds_mor_deltas(spark, tmp_path):
     assert [r["content"] for r in got] == ["patched"]
 
 
+def test_zorder_empty_visible_state(spark, tmp_path):
+    # every row deleted → approxQuantile has no points for ANY column; the
+    # rewrite must still run (degrading to a plain compaction) instead of
+    # handing Bucketizer a 2-point splits array. Found by the maintenance-
+    # composition property (insert×5 + delete, rebucket, compact_inc, zorder).
+    eng = CdcEngine(spark, str(tmp_path / "t"), num_buckets=1,
+                    auto_compact_every=None)
+    events = [ev(i, "insert", "r0", "a", f"c{i}", "py", f"v{i}")
+              for i in range(5)] + [ev(5, "delete", "r0", "a")]
+    eng.apply_log(spark.createDataFrame(events, EVENT_SCHEMA), n_batches=1)
+    snap = z_order_by(eng.table, ["repo", "lang"], target_files=2)
+    assert snap.operation == "zorder"
+    assert eng.table.read().count() == 0
+
+
+def test_zorder_all_null_column_codes_constant(spark, tmp_path):
+    # one clustered column entirely null → no quantile points for it; it
+    # codes as a constant and the OTHER column still drives the layout
+    eng = CdcEngine(spark, str(tmp_path / "t"), num_buckets=1,
+                    auto_compact_every=None)
+    events = [ev(i, "insert", f"r{i % 4}", f"p{i}", f"c{i}", None, f"v{i}")
+              for i in range(64)]
+    eng.apply_log(spark.createDataFrame(events, EVENT_SCHEMA), n_batches=1)
+    before = rows(eng.table.read())
+    snap = z_order_by(eng.table, ["repo", "lang"], target_files=4)
+    assert rows(eng.table.read()) == before
+    kept = scan.prune_files(eng.table, snap, [("repo", "=", "r0")])
+    assert len(kept) < len(snap.files)
+    assert scan.read_where(eng.table, [("repo", "=", "r0")]).count() == 16
+
+
 def test_zorder_numeric_dimension(spark, tmp_path):
     # last_lsn exercises the numeric (non-string) quantile path
     eng = seed(spark, tmp_path)

@@ -458,16 +458,31 @@ def z_order_by(
     splits_arr = [
         [float("-inf"), *sorted(set(q)), float("inf")] for q in quantiles
     ]
-    bucketizer = Bucketizer(
-        splitsArray=splits_arr, inputCols=srcs, outputCols=code_cols,
-        handleInvalid="keep",  # nulls → overflow code; reads as 0 below
-    )
+    # a column with NO quantile points (empty visible state — every row a
+    # dropped tombstone — or an all-null column) yields the 2-point splits
+    # [-inf, inf], which Bucketizer rejects. Such a column carries no layout
+    # information: it codes as a constant 0 and only the informative columns
+    # feed the Bucketizer. With none informative the rewrite still runs as a
+    # plain compaction (z constant), so tombstones drop as requested.
+    informative = [i for i, s in enumerate(splits_arr) if len(s) >= 3]
+    bucketizer = None
+    if informative:
+        bucketizer = Bucketizer(
+            splitsArray=[splits_arr[i] for i in informative],
+            inputCols=[srcs[i] for i in informative],
+            outputCols=[code_cols[i] for i in informative],
+            handleInvalid="keep",  # nulls → overflow code; reads as 0 below
+        )
+    constant = set(range(len(cols))) - set(informative)
     k = len(cols)
 
     def add_z(df: DataFrame) -> DataFrame:
         for c, s in zip(cols, srcs):
             df = df.withColumn(s, _z_source_expr(dtypes[c], c))
-        df = bucketizer.transform(df)
+        if bucketizer is not None:
+            df = bucketizer.transform(df)
+        for j in constant:
+            df = df.withColumn(code_cols[j], F.lit(0.0))
         z = F.lit(0).cast("long")
         for b in range(bits):
             for j, code in enumerate(code_cols):
