@@ -4,6 +4,7 @@ duplicate redelivery, and mid-stream auto-compaction — applied through the
 FULL engine must reproduce the sequential Python oracle, and a second
 replay of the same log must be a byte-identical no-op (exactly-once)."""
 
+import os
 import hashlib
 
 import pytest
@@ -12,6 +13,11 @@ from hypothesis import strategies as st
 
 from translator_ingests_spark.cdc import CdcEngine, EVENT_SCHEMA
 from translator_ingests_spark.cdc.oracle import replay_oracle
+
+# soak multiplier: SPARK_GRAFT_PROP_MULT=5 scales the example budget for
+# end-of-round soaks without editing this file (the settings decorator
+# outranks hypothesis profiles, so an env knob is the only clean override)
+_MULT = max(1, int(os.environ.get("SPARK_GRAFT_PROP_MULT", "1")))
 
 _repos = st.sampled_from(["r0", "r1"])
 _paths = st.sampled_from(["a", "b"])
@@ -67,7 +73,7 @@ def _engine_state(eng):
 
 
 @pytest.mark.parametrize("mode", ["cow", "mor", "auto"])
-@settings(max_examples=6, deadline=None,
+@settings(max_examples=6 * _MULT, deadline=None,
           suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
 @given(adversarial_logs())
 def test_full_engine_adversarial_replay(spark, tmp_path_factory, mode, events):
@@ -117,7 +123,7 @@ def _rows(df):
 
 
 @pytest.mark.parametrize("mode", ["cow", "mor"])
-@settings(max_examples=3, deadline=None,
+@settings(max_examples=3 * _MULT, deadline=None,
           suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
 @given(adversarial_logs())
 def test_derived_tables_track_adversarial_stream(spark, tmp_path_factory, mode,

@@ -2,12 +2,18 @@
 random keys, LSN permutations, duplicates, deletes — the engine's LWW
 reduction and the lake MERGE agree with the sequential Python oracle."""
 
+import os
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from translator_ingests_spark.cdc.apply import EVENT_SCHEMA
 from translator_ingests_spark.cdc.oracle import replay_oracle
 from translator_ingests_spark.cdc.reduce import lww_reduce
+
+# soak multiplier: SPARK_GRAFT_PROP_MULT=5 scales the example budget for
+# end-of-round soaks without editing this file (the settings decorator
+# outranks hypothesis profiles, so an env knob is the only clean override)
+_MULT = max(1, int(os.environ.get("SPARK_GRAFT_PROP_MULT", "1")))
 
 # a compact universe so collisions (same key, duplicate LSNs) are frequent
 _repos = st.sampled_from(["r0", "r1"])
@@ -47,7 +53,7 @@ def event_logs(draw):
     return events
 
 
-@settings(max_examples=12, deadline=None,
+@settings(max_examples=12 * _MULT, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(event_logs())
 def test_lww_reduce_matches_sequential_oracle(spark, events):

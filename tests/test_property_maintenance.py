@@ -20,6 +20,7 @@ inside feed windows (the vanished-delete synthesis path), and expiry
 removes feed endpoints entirely.
 """
 
+import os
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -27,6 +28,11 @@ from pyspark.sql import functions as F
 
 from translator_ingests_spark.cdc import CdcEngine, EVENT_SCHEMA
 from translator_ingests_spark.lake import dml, maintenance, wap
+
+# soak multiplier: SPARK_GRAFT_PROP_MULT=5 scales the example budget for
+# end-of-round soaks without editing this file (the settings decorator
+# outranks hypothesis profiles, so an env knob is the only clean override)
+_MULT = max(1, int(os.environ.get("SPARK_GRAFT_PROP_MULT", "1")))
 
 _REPOS = ["r0", "r1", "r2"]
 _PATHS = ["a", "b", "c"]
@@ -86,7 +92,7 @@ def _compose(base: dict, feed_rows) -> dict:
 
 
 @pytest.mark.parametrize("mode", ["cow", "mor"])
-@settings(max_examples=4, deadline=None,
+@settings(max_examples=4 * _MULT, deadline=None,
           suppress_health_check=[HealthCheck.too_slow,
                                  HealthCheck.function_scoped_fixture])
 @given(action_seqs())

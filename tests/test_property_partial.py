@@ -4,10 +4,16 @@ Python oracle implementing the column-wise contract — each value column
 takes its last non-null non-delete writer above the key's last delete; the
 key is visible iff the final event is not a delete chain-terminal."""
 
+import os
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from translator_ingests_spark.cdc import CdcEngine, EVENT_SCHEMA
+
+# soak multiplier: SPARK_GRAFT_PROP_MULT=5 scales the example budget for
+# end-of-round soaks without editing this file (the settings decorator
+# outranks hypothesis profiles, so an env knob is the only clean override)
+_MULT = max(1, int(os.environ.get("SPARK_GRAFT_PROP_MULT", "1")))
 
 _COLS = ["commit", "lang", "content"]
 
@@ -62,7 +68,7 @@ def _oracle(events):
     return out
 
 
-@settings(max_examples=6, deadline=None,
+@settings(max_examples=6 * _MULT, deadline=None,
           suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
 @given(partial_logs())
 def test_partial_engine_matches_columnwise_oracle(spark, tmp_path_factory, events):
