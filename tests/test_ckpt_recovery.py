@@ -49,3 +49,56 @@ def test_manifest_lost_after_commit_is_rebuilt(spark, tmp_path):
     report = validate_engine_state(eng2)
     assert report["passed"], report
     assert eng2.final_state().count() == 6
+
+
+def sev(lsn, kind, column, new_type=None):
+    return {
+        "lsn": lsn, "op": "schema_change", "repo": None, "path": None,
+        "commit": None, "lang": None, "content": None,
+        "schema_change": {"kind": kind, "column": column, "new_name": None,
+                          "new_type": new_type},
+        "source_partition": 0, "source_offset": lsn, "extras": None,
+    }
+
+
+def _ckpt_ids(root):
+    return sorted(
+        int(os.path.basename(p)[len("batch-"):-len(".json")])
+        for p in glob.glob(str(root / "cdc" / "ckpt" / "batch-*.json"))
+    )
+
+
+def test_empty_schema_split_slot_survives_snapshot_expiry(spark, tmp_path):
+    """A schema event at a batch's lowest LSN makes the sub-range below it
+    empty: that slot commits nothing and writes no manifest — a checkpoint
+    HOLE. Replaying after aggressive snapshot expiry must not misread the
+    hole as a crash-lost manifest: manifests are written strictly in unit
+    order, so a later unit's manifest proves the hole finished empty even
+    when the pre-hole snapshots are gone."""
+    from translator_ingests_spark.lake.maintenance import expire_snapshots
+
+    events = [ev(i, "insert", "r", f"p{i}", f"v{i}") for i in range(6)]
+    events.append(sev(6, "add_column", "meta1", "string"))
+    events += [ev(i, "insert", "r", f"p{i}", f"v{i}") for i in (7, 8, 9)]
+    df = spark.createDataFrame(events, EVENT_SCHEMA)
+
+    eng = CdcEngine(spark, str(tmp_path / "cdc"), num_buckets=4)
+    eng.apply_log(df, events_per_batch=3)
+    # batch {6,7,8} schema-splits; the below-lsn-6 sub-range is empty →
+    # unit 2 is a hole, units 0,1,3,4 committed with manifests
+    assert _ckpt_ids(tmp_path) == [0, 1, 3, 4]
+
+    # expire everything but the head — the snapshots the hole-vs-lost walk
+    # used as evidence are now gone
+    expire_snapshots(eng.table, keep_last=1)
+
+    # replay-classified second call (all data LSNs already applied) walks
+    # every slot including the hole; before the fix this raised
+    # "manifest for committed batch 2 is lost"
+    eng2 = CdcEngine(spark, str(tmp_path / "cdc"), num_buckets=4)
+    manifests = eng2.apply_log(df, events_per_batch=3)
+    assert [m["batch_id"] for m in manifests] == [0, 1, 3, 4]
+    assert eng2.final_state().count() == 9
+
+    report = validate_engine_state(eng2)
+    assert report["passed"], report

@@ -918,6 +918,18 @@ class CdcEngine:
             # history walks past the unit's slot without finding a snapshot:
             # the unit was genuinely empty (no commit, no manifest)
             return None
+        # Snapshot evidence is gone (expired), but manifests are written
+        # strictly in unit order — unit i's ckpt lands before unit i+1
+        # starts, and a crash between a commit and its ckpt write stops the
+        # run, leaving no LATER manifest behind. So a hole below an existing
+        # manifest can only be an empty schema-split sub-range, never a
+        # crash-lost manifest. Without this, aggressive snapshot expiry that
+        # removed the pre-hole history would misread the hole as lost
+        # lineage and refuse a perfectly replayable log.
+        for p in glob.glob(os.path.join(self._ckpt_dir, "batch-*.json")):
+            uid = int(os.path.basename(p)[len("batch-"):-len(".json")])
+            if uid > unit_id:
+                return None
         raise RuntimeError(
             f"checkpoint manifest for committed batch {unit_id} is lost and its "
             f"backing snapshot has been expired (expire_snapshots retention too "
