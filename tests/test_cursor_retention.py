@@ -52,6 +52,13 @@ def test_cursor_registry_roundtrip(spark, tmp_path):
     refs.drop_cursor(t, "idx")
     refs.drop_cursor(t, "idx")
     assert refs.list_cursors(t) == {}
+    # names are registry filenames: separators/traversal must be rejected,
+    # on drop too (name="../refs" would target refs.json)
+    for bad in ("a/b", "../refs", ".", "..", ""):
+        with pytest.raises(ValueError):
+            refs.register_cursor(t, bad, v)
+        with pytest.raises(ValueError):
+            refs.drop_cursor(t, bad)
 
 
 def test_pinned_cursor_survives_expiry_and_poll_serves(spark, tmp_path):

@@ -122,9 +122,11 @@ def test_replica_sync_updates_deletes_and_crash_heal(spark, engine, tmp_path):
     assert rows(dst.read()) == rows(eng.table.read())
 
     # crash shape: cursor reset behind the replica's last applied batch —
-    # the re-poll redelivers an overlapping range; LWW keeps it value-stable
+    # the replica's last_batch_id is the authoritative cursor, so the
+    # consumer fast-forwards to it instead of re-polling a moved window
+    # (which would cancel contained insert→delete lifecycles): 0 batches
     cons._advance(1)
-    assert sync_replica(eng.table, dst, cons) == 1
+    assert sync_replica(eng.table, dst, cons) == 0
     assert rows(dst.read()) == rows(eng.table.read())
 
     # replica-side late redelivery cannot resurrect the deleted key
@@ -562,3 +564,90 @@ def test_affected_recompute_reads_as_of_v_to_not_current(spark, engine, tmp_path
     got = {r["repo"]: r["max_lsn"] for r in agg.read().collect()}
     assert got["r0"] == 500
     assert rows(agg.read()) == rows(agg.recomputed())
+
+
+class _CrashBeforeCursorAdvance(ChangesConsumer):
+    """Fault injection: the first cursor commit raises AFTER the sink's
+    merge has landed — the classic crash window between a replica merge and
+    its cursor advance."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.crashed = False
+
+    def commit(self, version):
+        if not self.crashed:
+            self.crashed = True
+            raise RuntimeError("injected crash before cursor advance")
+        super().commit(version)
+
+
+def test_replica_crash_redelivery_contained_lifecycle(spark, engine, tmp_path):
+    """A crash between the replica merge and the cursor advance redelivers
+    a MOVED window (poll re-targets the new head). The strict net diff
+    cancels an insert→delete lifecycle contained in that wider window, so
+    upsert-redelivery LWW alone would strand the inserted key in the
+    replica forever. sync_replica must treat the replica's last_batch_id as
+    the authoritative cursor (fast-forward), exactly like
+    IncrementalAggregate.refresh does."""
+    eng = engine
+    dst = create_replica(spark, eng.table, str(tmp_path / "replica"))
+    cons = _CrashBeforeCursorAdvance(eng.table, str(tmp_path / "cur"), name="rep")
+    cons.crashed = True  # clean bootstrap first
+    assert sync_replica(eng.table, dst, cons) == 1
+    assert rows(dst.read()) == rows(eng.table.read())
+
+    # window 1: insert a fresh key; the sink merge lands, the cursor does not
+    eng.apply_log(spark.createDataFrame(
+        [ev(100, "insert", "r9", "p9", "c9", "go", "fresh")], EVENT_SCHEMA),
+        n_batches=1)
+    cons.crashed = False
+    with pytest.raises(RuntimeError, match="injected crash"):
+        sync_replica(eng.table, dst, cons)
+    assert dst.read().filter(F.col("repo") == "r9").count() == 1  # merged
+
+    # window 2: the same key is deleted before the consumer recovers — the
+    # net diff (old cursor → new head) contains NOTHING for it
+    eng.apply_log(spark.createDataFrame(
+        [ev(101, "delete", "r9", "p9")], EVENT_SCHEMA), n_batches=1)
+
+    sync_replica(eng.table, dst, cons)
+    assert rows(dst.read()) == rows(eng.table.read())
+    assert dst.read().filter(F.col("repo") == "r9").count() == 0
+
+
+def test_replica_dirty_rebootstrap_after_expiry_emits_stale_deletes(
+        spark, engine, tmp_path):
+    """A crashed bootstrap-after-v0-expiry leaves a full-state replica with
+    NO cursor. The retried bootstrap lands at a LATER source version: keys
+    deleted in between are absent from the new full state, so an
+    upsert-only bootstrap would strand them. The fallback must emit
+    tombstones for replica keys missing from the bootstrap state (at
+    stored-lsn + 1 — provably below the true delete's LSN, so no genuine
+    later event can ever be shadowed)."""
+    from translator_ingests_spark.lake.maintenance import expire_snapshots
+
+    eng = engine
+    expire_snapshots(eng.table, keep_last=1)  # v0 gone → fallback path
+    dst = create_replica(spark, eng.table, str(tmp_path / "replica"))
+    cons = _CrashBeforeCursorAdvance(eng.table, str(tmp_path / "cur"), name="rep")
+    with pytest.raises(RuntimeError, match="injected crash"):
+        sync_replica(eng.table, dst, cons)
+    assert cons.position() is None
+    assert dst.read().count() == eng.table.read().count()  # dirty full state
+
+    # the source deletes a key while the consumer is down
+    eng.apply_log(spark.createDataFrame(
+        [ev(200, "delete", "r0", "p0")], EVENT_SCHEMA), n_batches=1)
+
+    sync_replica(eng.table, dst, cons)
+    assert rows(dst.read()) == rows(eng.table.read())
+    assert dst.read().filter(
+        (F.col("repo") == "r0") & (F.col("path") == "p0")).count() == 0
+
+    # ...and a genuine later re-insert still beats the synthesized tombstone
+    eng.apply_log(spark.createDataFrame(
+        [ev(300, "insert", "r0", "p0", "cZ", "py", "back")], EVENT_SCHEMA),
+        n_batches=1)
+    sync_replica(eng.table, dst, cons)
+    assert rows(dst.read()) == rows(eng.table.read())

@@ -61,9 +61,17 @@ def sync_replica(src: LakeTable, dst: LakeTable, consumer: ChangesConsumer) -> i
     with ``batch_id = v_to``:
 
     - ``upsert`` rows merge as updates at their own ``last_lsn`` — the LWW
-      guard makes re-merging a redelivered row a no-op, so a crash between
-      the merge and the cursor commit (which re-polls a wider, overlapping
-      range) is value-stable;
+      guard makes re-merging a redelivered row a no-op, so redelivered
+      OVERLAP is value-stable. Overlap alone is not enough, though: a crash
+      between the merge and the cursor commit re-polls a MOVED window (the
+      consumer targets the head at poll time), and the strict net diff
+      cancels an insert→delete lifecycle contained in the wider window —
+      nothing would ever remove the crashed window's insert from the
+      replica. The replica's ``last_batch_id`` (= the v_to of the last
+      committed merge) is therefore the authoritative cursor: when it is
+      ahead of the consumer, the consumer fast-forwards to it before
+      polling — the same state-authority rule
+      :meth:`IncrementalAggregate.refresh` applies;
     - ``delete`` rows merge as deletes (tombstones) at the deletion LSN, so
       a replica-side late redelivery cannot resurrect the key;
     - columns ``src`` added since the replica was created are auto-added to
@@ -153,7 +161,17 @@ def sync_replica(src: LakeTable, dst: LakeTable, consumer: ChangesConsumer) -> i
             source.unpersist()
 
     boot = 0
-    if consumer.position() is None:
+    pos = consumer.position()
+    applied = dst.head().last_batch_id
+    if pos is not None and applied > pos:
+        # crash between the replica merge and its cursor advance: the
+        # replica is the authority — fast-forward so the next poll starts
+        # where the merge landed. Re-polling the MOVED window instead
+        # (old cursor → new head) would be value-stable for overlap (LWW)
+        # but silently cancel any insert→delete lifecycle contained in it,
+        # stranding the crashed window's insert in the replica forever.
+        consumer.commit(applied)
+    if pos is None:
         try:
             # bootstrap the cursor at v0 so the first poll ships the full
             # state as one pruned changes() batch
@@ -167,6 +185,28 @@ def sync_replica(src: LakeTable, dst: LakeTable, consumer: ChangesConsumer) -> i
             # a crash-redelivered bootstrap idempotent.
             snap_v = src.current().version
             full = src.read_at(snap_v).withColumn(_CHANGE_COL, F.lit("upsert"))
+            if applied >= 0:
+                # a CRASHED earlier bootstrap (merge landed, cursor never
+                # committed) may have shipped a full state at an OLDER
+                # version: keys the source deleted since are absent from
+                # this `full`, so upserts alone would strand them in the
+                # replica forever. Emit tombstones for replica keys missing
+                # from the bootstrap state, at stored-lsn + 1: the key is
+                # absent at snap_v, so a real delete with LSN strictly
+                # greater than the stored row's exists — the tombstone can
+                # never outrank a genuine later event (whose LSN exceeds
+                # that delete's), and it strictly beats the stranded row
+                # (the merge keeps the target on LSN ties).
+                keyc = list(dst.head().key_cols)
+                lsn_c = dst.head().lsn_col
+                stale = (
+                    dst.read()
+                    .select(*keyc, lsn_c)
+                    .join(full.select(*keyc), on=keyc, how="left_anti")
+                    .withColumn(lsn_c, F.col(lsn_c) + F.lit(1))
+                    .withColumn(_CHANGE_COL, F.lit("delete"))
+                )
+                full = full.unionByName(stale, allowMissingColumns=True)
             _apply(full, snap_v, snap_v)
             consumer.commit(snap_v)
             boot = 1

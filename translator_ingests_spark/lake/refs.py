@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import re as _re
 
 from pyspark.sql import DataFrame
 
@@ -88,10 +89,23 @@ def _cursors_dir(table: LakeTable) -> str:
     return os.path.join(table.root, "cursors")
 
 
+def _check_cursor_name(name: str) -> None:
+    # the name IS the registry filename: a separator or traversal component
+    # would nest (or escape) the cursors/ dir — the pin would never be seen
+    # by list_cursors → expire_snapshots, and drop_cursor could remove a
+    # file OUTSIDE the registry (name="../refs" targets refs.json)
+    if not _re.fullmatch(r"[A-Za-z0-9._-]+", name) or name in (".", ".."):
+        raise ValueError(
+            f"consumer name {name!r} is not a valid registry key "
+            "(allowed: letters, digits, '.', '_', '-')"
+        )
+
+
 def register_cursor(table: LakeTable, name: str, version: int) -> None:
     """Pin ``name``'s consumer cursor at ``version`` (must be a committed
     snapshot). Re-registering moves the pin — forward OR backward (the
     consumer owns its own regression rules; the registry just records)."""
+    _check_cursor_name(name)
     table.snapshot_at(version)  # existence check, same contract as tag()
     d = _cursors_dir(table)
     os.makedirs(d, exist_ok=True)
@@ -116,6 +130,7 @@ def drop_cursor(table: LakeTable, name: str) -> None:
     """Remove a consumer's retention pin (decommissioning the consumer).
     Unknown names are a no-op — drop must be idempotent so a consumer
     teardown can always run it."""
+    _check_cursor_name(name)
     try:
         os.remove(os.path.join(_cursors_dir(table), f"{name}.json"))
     except FileNotFoundError:

@@ -10,9 +10,20 @@ serves `table.changes(cursor, current)` batches:
 - cost per poll ∝ buckets rewritten between the two versions (the change
   feed's manifest pruning), never table size;
 - the cursor advances only after the caller's process function returns, so
-  a crash replays the same batch — at-least-once delivery, upgraded to
+  a crash replays the pending range — at-least-once delivery, upgraded to
   exactly-once by idempotent sinks exactly like the ingest side's batch-id
-  guard (the batch is keyed by ``(v_from, v_to]`` for the sink to dedup on);
+  guard (the batch is keyed by ``(v_from, v_to]`` for the sink to dedup on).
+  CAVEAT for stateful sinks: the replayed poll targets the head AT REPLAY
+  TIME, i.e. a crash between the sink's write and the cursor commit
+  redelivers a net diff over a MOVED window ``(v_from, v_to']`` with
+  ``v_to' ≥ v_to`` — NOT the same batch. Row-level LWW makes the overlap
+  value-stable, but a net diff is not idempotent under a moved endpoint: an
+  insert→delete lifecycle contained in the wider window cancels to nothing,
+  so the crashed window's already-written insert would never be retracted.
+  A sink that records the last applied ``v_to`` (e.g. a lake table's
+  ``last_batch_id``) must treat that record as the authoritative cursor and
+  fast-forward the consumer to it before polling — see
+  ``lake.derived.sync_replica`` / ``IncrementalAggregate.refresh``;
 - a cursor older than the table's retained history (GC'd snapshot) raises
   :class:`CursorExpiredError` — the consumer must rebuild from a full read,
   the Kafka offset-out-of-range analog. By default the consumer prevents
