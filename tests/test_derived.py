@@ -651,3 +651,75 @@ def test_replica_dirty_rebootstrap_after_expiry_emits_stale_deletes(
         n_batches=1)
     sync_replica(eng.table, dst, cons)
     assert rows(dst.read()) == rows(eng.table.read())
+
+
+def test_replica_self_heals_after_cursor_expiry(spark, engine, tmp_path):
+    """A consumer whose cursor snapshot was expired (max_cursor_lag
+    eviction, or expiry with respect_cursors off) must not leave the
+    replica permanently stuck on CursorExpiredError: sync_replica
+    re-bootstraps from the current full state — including tombstones for
+    replica keys the source deleted inside the lost window — and resumes
+    incrementally. The Kafka offset-out-of-range auto-reset analog, made
+    lossless here because a replica only needs the net final state."""
+    from translator_ingests_spark.lake.maintenance import expire_snapshots
+
+    eng = engine
+    dst = create_replica(spark, eng.table, str(tmp_path / "replica"))
+    cons = ChangesConsumer(eng.table, str(tmp_path / "cur"), name="rep")
+    sync_replica(eng.table, dst, cons)
+    assert rows(dst.read()) == rows(eng.table.read())
+
+    # the source moves on: one delete + one insert, then the consumer's
+    # pinned snapshot is expired out from under it
+    eng.apply_log(spark.createDataFrame(
+        [ev(100, "delete", "r0", "p0"),
+         ev(101, "insert", "r9", "p9", "c9", "go", "fresh")], EVENT_SCHEMA),
+        n_batches=1)
+    expire_snapshots(eng.table, keep_last=1, respect_cursors=False)
+
+    assert sync_replica(eng.table, dst, cons) >= 1
+    assert rows(dst.read()) == rows(eng.table.read())
+    assert dst.read().filter(
+        (F.col("repo") == "r0") & (F.col("path") == "p0")).count() == 0
+    # ...and consumption continues incrementally afterwards
+    eng.apply_log(spark.createDataFrame(
+        [ev(200, "update", "r9", "p9", "cA", "go", "fresher")], EVENT_SCHEMA),
+        n_batches=1)
+    assert sync_replica(eng.table, dst, cons) == 1
+    assert rows(dst.read()) == rows(eng.table.read())
+
+
+def test_aggregate_self_heals_after_cursor_expiry(spark, engine, tmp_path):
+    """Same auto-reset for IncrementalAggregate.refresh: on
+    CursorExpiredError the state is rebuilt by a full regroup (exact, and
+    it deletes vanished groups), the cursor re-commits at the recomputed
+    version, and incremental maintenance resumes."""
+    from translator_ingests_spark.lake.maintenance import expire_snapshots
+
+    eng = engine
+    agg = IncrementalAggregate(
+        spark, eng.table, str(tmp_path / "agg"), group_cols=["repo"],
+        sums={}, auto_strategy=False,
+    )
+    agg.refresh()
+    assert rows(agg.read()) == rows(agg.recomputed())
+
+    eng.apply_log(spark.createDataFrame(
+        [ev(100, "delete", "r2", "p2"),
+         ev(101, "delete", "r2", "p5"),
+         ev(102, "delete", "r2", "p8"),
+         ev(103, "delete", "r2", "p11"),
+         ev(104, "insert", "rX", "pX", "cX", "py", "vX")], EVENT_SCHEMA),
+        n_batches=1)
+    expire_snapshots(eng.table, keep_last=1, respect_cursors=False)
+
+    assert agg.refresh() >= 1
+    assert rows(agg.read()) == rows(agg.recomputed())
+    # the r2 group vanished entirely — the heal must have deleted its row
+    assert agg.read().filter(F.col("repo") == "r2").count() == 0
+    # ...and incremental maintenance resumes
+    eng.apply_log(spark.createDataFrame(
+        [ev(300, "insert", "r2", "pN", "cN", "py", "vN")], EVENT_SCHEMA),
+        n_batches=1)
+    assert agg.refresh() == 1
+    assert rows(agg.read()) == rows(agg.recomputed())

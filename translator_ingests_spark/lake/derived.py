@@ -27,11 +27,15 @@ iteration); these are that artifact kept current without the O(table) pass.
 from __future__ import annotations
 
 import os
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from translator_ingests_spark.lake.table import LakeSchema, LakeTable
-from translator_ingests_spark.streaming.change_consumer import ChangesConsumer
+from translator_ingests_spark.streaming.change_consumer import (
+    ChangesConsumer,
+    CursorExpiredError,
+)
 
 _CHANGE_COL = "_change_type"
 
@@ -171,6 +175,39 @@ def sync_replica(src: LakeTable, dst: LakeTable, consumer: ChangesConsumer) -> i
         # but silently cancel any insert→delete lifecycle contained in it,
         # stranding the crashed window's insert in the replica forever.
         consumer.commit(applied)
+    def _full_bootstrap() -> None:
+        # Ship the current full visible state as one bootstrap batch.
+        # v_from = v_to makes _apply's field-identity checks compare the
+        # snapshot to itself (no-op), and the batch-id guard makes a
+        # crash-redelivered bootstrap idempotent.
+        snap_v = src.current().version
+        full = src.read_at(snap_v).withColumn(_CHANGE_COL, F.lit("upsert"))
+        if dst.head().last_batch_id >= 0:
+            # The replica already holds state from an earlier sync (a
+            # CRASHED bootstrap whose cursor never committed, or a healthy
+            # replica whose cursor expired): keys the source deleted since
+            # that state landed are absent from this `full`, so upserts
+            # alone would strand them in the replica forever. Emit
+            # tombstones for replica keys missing from the bootstrap
+            # state, at stored-lsn + 1: the key is absent at snap_v, so a
+            # real delete with LSN strictly greater than the stored row's
+            # exists — the tombstone can never outrank a genuine later
+            # event (whose LSN exceeds that delete's), and it strictly
+            # beats the stranded row (the merge keeps the target on LSN
+            # ties).
+            keyc = list(dst.head().key_cols)
+            lsn_c = dst.head().lsn_col
+            stale = (
+                dst.read()
+                .select(*keyc, lsn_c)
+                .join(full.select(*keyc), on=keyc, how="left_anti")
+                .withColumn(lsn_c, F.col(lsn_c) + F.lit(1))
+                .withColumn(_CHANGE_COL, F.lit("delete"))
+            )
+            full = full.unionByName(stale, allowMissingColumns=True)
+        _apply(full, snap_v, snap_v)
+        consumer.commit(snap_v)
+
     if pos is None:
         try:
             # bootstrap the cursor at v0 so the first poll ships the full
@@ -178,39 +215,25 @@ def sync_replica(src: LakeTable, dst: LakeTable, consumer: ChangesConsumer) -> i
             src.snapshot_at(0)
             consumer.commit(0)
         except FileNotFoundError:
-            # v0 already GC'd — routine once auto-expiry runs: ship the
-            # current full visible state as the bootstrap batch instead.
-            # v_from = v_to makes _apply's field-identity checks compare
-            # the snapshot to itself (no-op), and the batch-id guard makes
-            # a crash-redelivered bootstrap idempotent.
-            snap_v = src.current().version
-            full = src.read_at(snap_v).withColumn(_CHANGE_COL, F.lit("upsert"))
-            if applied >= 0:
-                # a CRASHED earlier bootstrap (merge landed, cursor never
-                # committed) may have shipped a full state at an OLDER
-                # version: keys the source deleted since are absent from
-                # this `full`, so upserts alone would strand them in the
-                # replica forever. Emit tombstones for replica keys missing
-                # from the bootstrap state, at stored-lsn + 1: the key is
-                # absent at snap_v, so a real delete with LSN strictly
-                # greater than the stored row's exists — the tombstone can
-                # never outrank a genuine later event (whose LSN exceeds
-                # that delete's), and it strictly beats the stranded row
-                # (the merge keeps the target on LSN ties).
-                keyc = list(dst.head().key_cols)
-                lsn_c = dst.head().lsn_col
-                stale = (
-                    dst.read()
-                    .select(*keyc, lsn_c)
-                    .join(full.select(*keyc), on=keyc, how="left_anti")
-                    .withColumn(lsn_c, F.col(lsn_c) + F.lit(1))
-                    .withColumn(_CHANGE_COL, F.lit("delete"))
-                )
-                full = full.unionByName(stale, allowMissingColumns=True)
-            _apply(full, snap_v, snap_v)
-            consumer.commit(snap_v)
+            # v0 already GC'd — routine once auto-expiry runs
+            _full_bootstrap()
             boot = 1
-    return boot + consumer.process_available(_apply)
+    try:
+        return boot + consumer.process_available(_apply)
+    except CursorExpiredError:
+        # The consumer's snapshot was expired out from under it (lag-bound
+        # eviction, or expiry with respect_cursors off). A replica heals
+        # LOSSLESSLY — it only needs the net final state — so re-bootstrap
+        # from the current full state (stale keys tombstoned above) and
+        # resume incrementally: Kafka's offset-out-of-range auto-reset,
+        # made exact here by LWW + the stale-tombstone ordering proof.
+        warnings.warn(
+            f"replica cursor for {consumer.name!r} expired from source "
+            "history; re-bootstrapping from the current full state",
+            stacklevel=2,
+        )
+        _full_bootstrap()
+        return boot + 1 + consumer.process_available(_apply)
 
 
 # ---------------------------------------------------------------------------
@@ -408,7 +431,24 @@ class IncrementalAggregate:
             # authority — fast-forward the cursor so the next poll starts
             # exactly where the arithmetic left off
             self.consumer.commit(applied)
-        return boot + self.consumer.process_available(self._apply_batch)
+        try:
+            return boot + self.consumer.process_available(self._apply_batch)
+        except CursorExpiredError:
+            # the cursor's snapshot was expired out from under it (lag-bound
+            # eviction, or expiry with respect_cursors off): a full regroup
+            # is EXACT — it recomputes every group and deletes vanished ones
+            # — so rebuild, re-commit the cursor at the recomputed version,
+            # and resume incrementally (Kafka offset-out-of-range
+            # auto-reset, lossless here)
+            warnings.warn(
+                f"aggregate cursor for {self.consumer.name!r} expired from "
+                "source history; healing by full regroup",
+                stacklevel=2,
+            )
+            v = self.src.current().version
+            self._recompute_full(v)
+            self.consumer.commit(v)
+            return boot + 1 + self.consumer.process_available(self._apply_batch)
 
     def _apply_batch(self, df: DataFrame, v_from: int, v_to: int) -> None:
         snap = self.state.head()
