@@ -6,6 +6,7 @@ replay of the same log must be a byte-identical no-op (exactly-once)."""
 
 import os
 import hashlib
+import warnings
 
 import pytest
 from hypothesis import HealthCheck, given, settings
@@ -195,6 +196,32 @@ def test_derived_tables_track_adversarial_stream(spark, tmp_path_factory, mode,
     expire_snapshots(eng.table, keep_last=1)
     sync_all()
 
+    assert _rows(dst.read()) == _rows(eng.table.read())
+    for a in aggs:
+        assert _rows(a.read()) == _rows(a.recomputed())
+
+    # cursor-expiry self-heal under the same stream: commit two more
+    # events (a delete of a touched key + a fresh insert), then expire
+    # UNPINNED (respect_cursors=False) so every consumer's snapshot is
+    # gone — the next sync must heal (replica full re-bootstrap with
+    # stale tombstones; aggregates full regroup) and still converge
+    mx = max(e["lsn"] for e in events)
+    extra = [
+        {"lsn": mx + 1, "op": "delete", "repo": "r0", "path": "a",
+         "commit": None, "lang": None, "content": None,
+         "schema_change": None, "source_partition": 0,
+         "source_offset": mx + 1, "extras": None},
+        {"lsn": mx + 2, "op": "insert", "repo": "rZ", "path": "z",
+         "commit": "cz", "lang": "py", "content": "zz",
+         "schema_change": None, "source_partition": 0,
+         "source_offset": mx + 2, "extras": {"meta1": "mz"}},
+    ]
+    eng.apply_log(spark.createDataFrame(extra, EVENT_SCHEMA),
+                  events_per_batch=3)
+    expire_snapshots(eng.table, keep_last=1, respect_cursors=False)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # the heals warn by design
+        sync_all()
     assert _rows(dst.read()) == _rows(eng.table.read())
     for a in aggs:
         assert _rows(a.read()) == _rows(a.recomputed())
