@@ -247,7 +247,18 @@ def main():
         for _it in range(N_ITERS):
             for name, fn in points.items():  # interleaved: noise hits all
                 e = fn()
-                if name not in best or e < best[name]:
+                if name not in best:
+                    best[name] = e
+                elif isinstance(e, tuple):
+                    # multi-metric point (MOR write + folded read): each
+                    # component is an independent timing of a deterministic
+                    # workload, so best-of-N applies PER COMPONENT — a
+                    # lexicographic tuple-min would let a one-off hiccup in
+                    # the read ride along with the best write iteration
+                    best[name] = tuple(
+                        min(a, b) for a, b in zip(best[name], e)
+                    )
+                elif e < best[name]:
                     best[name] = e
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -255,7 +266,7 @@ def main():
     elapsed = best["replay"]
     gen_elapsed = best["generator"]
     clu_elapsed = best["clustered"]
-    mor_w, mor_r = best["clustered_mor"]  # tuple-min: write time primary
+    mor_w, mor_r = best["clustered_mor"]  # component-wise best-of (above)
     timings["cdc_replay_full_engine"] = round(elapsed, 3)
     timings["cdc_apply_generator_500k_1kb"] = round(gen_elapsed, 3)
     timings["cdc_apply_clustered_updates_300k"] = round(clu_elapsed, 3)
