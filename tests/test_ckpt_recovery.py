@@ -6,6 +6,8 @@ validation gate still passes on the recovered state."""
 import glob
 import os
 
+import pytest
+
 from translator_ingests_spark.cdc import CdcEngine, EVENT_SCHEMA
 from translator_ingests_spark.cdc.validate import validate_engine_state
 
@@ -100,5 +102,50 @@ def test_empty_schema_split_slot_survives_snapshot_expiry(spark, tmp_path):
     assert [m["batch_id"] for m in manifests] == [0, 1, 3, 4]
     assert eng2.final_state().count() == 9
 
+    report = validate_engine_state(eng2)
+    assert report["passed"], report
+
+
+def test_lost_newest_manifest_self_heals_by_tail_reapply(spark, tmp_path):
+    """Externally losing the NEWEST unit's manifest (with its backing
+    snapshot expired) does not hit the skip path's later-manifest fallback
+    at all: the resume run derives its applied watermark from the REMAINING
+    manifests, so the uncovered LSN range classifies as a tail and
+    re-applies idempotently — LWW keeps the state byte-identical, and the
+    new manifests re-cover the lost range's lineage. The loud-raise path
+    stays reserved for a mid-sequence slot whose coverage no surviving
+    manifest or snapshot can vouch for."""
+    from translator_ingests_spark.lake.maintenance import expire_snapshots
+
+    events = [ev(i, "insert", "r", f"p{i}", f"v{i}") for i in range(6)]
+    df = spark.createDataFrame(events, EVENT_SCHEMA)
+    eng = CdcEngine(spark, str(tmp_path / "cdc"), num_buckets=4)
+    eng.apply_log(df, events_per_batch=3)
+    assert _ckpt_ids(tmp_path) == [0, 1]
+    before = sorted(
+        (r["repo"], r["path"], r["content"], r["last_lsn"])
+        for r in eng.final_state().collect()
+    )
+
+    # externally lose the NEWEST unit's manifest...
+    os.remove(str(tmp_path / "cdc" / "ckpt" / "batch-00000001.json"))
+    # ...and expire its backing snapshot (a later metadata-only commit
+    # becomes the only retained head)
+    eng.table.update_schema("add_column", "meta1", new_type="string")
+    expire_snapshots(eng.table, keep_last=1)
+
+    eng2 = CdcEngine(spark, str(tmp_path / "cdc"), num_buckets=4)
+    with pytest.warns(UserWarning, match="redelivered boundary"):
+        manifests = eng2.apply_log(df, events_per_batch=3)
+    # the uncovered range re-applied as fresh units (manifest coverage
+    # restored past the lost unit's LSNs)...
+    covered_max = max(m["applied_lsn_max"] for m in manifests if m)
+    assert covered_max == 5
+    # ...and LWW kept the state byte-identical
+    after = sorted(
+        (r["repo"], r["path"], r["content"], r["last_lsn"])
+        for r in eng2.final_state().collect()
+    )
+    assert after == before
     report = validate_engine_state(eng2)
     assert report["passed"], report

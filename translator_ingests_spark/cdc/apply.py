@@ -446,6 +446,15 @@ class CdcEngine:
                     stacklevel=2,
                 )
                 base_unit = self.table.head().last_batch_id + 1
+                # stamp these units' manifests with the honest delivery
+                # mode: their offset windows OVERLAP earlier manifests by
+                # design (the redelivered boundary), so the validator's
+                # in-order contiguity audit must not read them as lineage
+                # corruption — exactly-once is carried by the batch-id
+                # guard + LWW here, same as scatter delivery. The in-order
+                # low-watermark advance is withheld for the same reason
+                # (conservative: dedup pruning just keeps more history).
+                self._delivery = "redelivered"
         elif (
             min_lsn is not None
             and prev_max is None
