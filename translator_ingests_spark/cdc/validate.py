@@ -59,9 +59,16 @@ def validate_engine_state(engine: CdcEngine) -> dict:
     # scenario tests) and surfaced in ``scatter_batches``.
     by_partition: dict = {}
     report["scatter_batches"] = 0
+    report["redelivered_batches"] = 0
     for m in manifests:
-        in_order = m.get("delivery", "in_order") == "in_order"
-        if not in_order:
+        delivery = m.get("delivery", "in_order")
+        in_order = delivery == "in_order"
+        if delivery == "redelivered":
+            # boundary-redelivery units legitimately overlap earlier offset
+            # windows; count them under their own label instead of
+            # mislabeling them as scatter delivery
+            report["redelivered_batches"] += 1
+        elif not in_order:
             report["scatter_batches"] += 1
         for d in m["per_partition_lineage"]:
             if in_order:

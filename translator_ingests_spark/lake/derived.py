@@ -197,6 +197,19 @@ def sync_replica(src: LakeTable, dst: LakeTable, consumer: ChangesConsumer) -> i
             # ties).
             keyc = list(dst.head().key_cols)
             lsn_c = dst.head().lsn_col
+            # stored-lsn + 1 is only provably <= the true delete's LSN when
+            # the LSN domain is integral with unit granularity; a
+            # float/decimal LSN source (real delete at stored+0.5) would let
+            # the synthesized tombstone shadow a genuine later event
+            lsn_t = next(
+                f.type for f in dst.head().schema.fields if f.name == lsn_c
+            )
+            if lsn_t not in ("int", "long"):
+                raise TypeError(
+                    f"replica heal requires an integral LSN column; {lsn_c!r} "
+                    f"is {lsn_t!r} (stale-key tombstones at stored-lsn + 1 "
+                    "assume unit LSN granularity)"
+                )
             stale = (
                 dst.read()
                 .select(*keyc, lsn_c)
@@ -220,7 +233,7 @@ def sync_replica(src: LakeTable, dst: LakeTable, consumer: ChangesConsumer) -> i
             boot = 1
     try:
         return boot + consumer.process_available(_apply)
-    except CursorExpiredError:
+    except CursorExpiredError as heal_err:
         # The consumer's snapshot was expired out from under it (lag-bound
         # eviction, or expiry with respect_cursors off). A replica heals
         # LOSSLESSLY — it only needs the net final state — so re-bootstrap
@@ -233,7 +246,13 @@ def sync_replica(src: LakeTable, dst: LakeTable, consumer: ChangesConsumer) -> i
             stacklevel=2,
         )
         _full_bootstrap()
-        return boot + 1 + consumer.process_available(_apply)
+        # batches_done: batches process_available had already applied and
+        # committed before the cursor expired mid-drain — without it the
+        # documented "batches applied" count under-reports partial progress
+        return (
+            boot + getattr(heal_err, "batches_done", 0) + 1
+            + consumer.process_available(_apply)
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -433,7 +452,7 @@ class IncrementalAggregate:
             self.consumer.commit(applied)
         try:
             return boot + self.consumer.process_available(self._apply_batch)
-        except CursorExpiredError:
+        except CursorExpiredError as heal_err:
             # the cursor's snapshot was expired out from under it (lag-bound
             # eviction, or expiry with respect_cursors off): a full regroup
             # is EXACT — it recomputes every group and deletes vanished ones
@@ -448,7 +467,11 @@ class IncrementalAggregate:
             v = self.src.current().version
             self._recompute_full(v)
             self.consumer.commit(v)
-            return boot + 1 + self.consumer.process_available(self._apply_batch)
+            # include partial progress committed before the mid-drain expiry
+            return (
+                boot + getattr(heal_err, "batches_done", 0) + 1
+                + self.consumer.process_available(self._apply_batch)
+            )
 
     def _apply_batch(self, df: DataFrame, v_from: int, v_to: int) -> None:
         snap = self.state.head()

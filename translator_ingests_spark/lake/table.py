@@ -1812,6 +1812,54 @@ class LakeTable:
         untouched_files = [f for f in snap.files if f["path"] not in affected_paths]
         tgt = self._net_raw(snap, affected_files)
 
+        if not partial_update and os.environ.get("SPARK_GRAFT_MERGE_FUSE", "1") != "0":
+            # FUSED COW MERGE (whole-row LWW): the full-outer join is
+            # equivalent to one per-key max_by over source ∪ target ordered
+            # by (lsn, is_target) — the source row wins iff its LSN is
+            # STRICTLY greater (is_target breaks the tie toward the target,
+            # exactly the join's ``s_lsn > t_lsn``; a null target LSN
+            # compares below any source LSN, the join's ``t_lsn IS NULL``
+            # arm). Fusing removes the join and one full table-size
+            # exchange: both branches shuffle ONCE, by the write's
+            # bucket-group key, and the aggregation runs on top of that
+            # exchange inside ``_finish_merge`` — its SortAggregate sorts by
+            # (group, bucket, keys), which is precisely the write order, so
+            # the plan is scan ∪ scan → exchange → sort-agg → write.
+            # Source deletes become tombstone rows (values nulled) BEFORE
+            # the agg, so a winning delete lands exactly like the join's
+            # is_del branch; a losing one vanishes with its row.
+            is_del_src = F.col(op_col) == F.lit("delete")
+            s_rows = src.select(
+                *[F.col(k) for k in keys],
+                *[
+                    F.when(is_del_src, F.lit(None)).otherwise(F.col(c)).alias(c)
+                    for c in value_cols
+                ],
+                F.col(lsn_col).alias(lsn_target),
+                is_del_src.alias(TOMBSTONE_COL),
+                F.when(is_del_src, F.lit(None).cast(extras_map_t))
+                .otherwise(s_extras)
+                .alias(EXTRAS_COL),
+                F.col("__bucket"),
+                F.lit(0).alias("__is_tgt"),
+            )
+            t_rows = tgt.select(
+                *[F.col(k) for k in keys],
+                *[F.col(c) for c in value_cols],
+                F.col(lsn_target),
+                F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)).alias(TOMBSTONE_COL),
+                F.col(EXTRAS_COL),
+                self._bucket_expr(snap.num_buckets, keys).alias("__bucket"),
+                F.lit(1).alias("__is_tgt"),
+            )
+            return self._finish_merge(
+                snap, s_rows.unionByName(t_rows), affected, untouched_files,
+                batch_id, lineage, metrics, code_hash, stats_out,
+                advance_watermark_to, delivery, obs, src, op_col,
+                None if obs is not None else merge_counts, delta=False,
+                fuse_lww=True,
+            )
+
         # partial mode: a non-null __del_lsn means an in-batch delete killed
         # the key's prior row — the coalesce below must not resurrect it
         s_dl = (
@@ -1914,10 +1962,20 @@ class LakeTable:
         op_col: str,
         merge_counts: dict | None,
         delta: bool,
+        fuse_lww: bool = False,
     ) -> Snapshot:
         """Shared merge tail: the partitioned write, observation resolution,
         manifest splice (``delta=True`` flags merge-on-read files) and the
-        snapshot commit. ``result`` must carry ``__bucket``."""
+        snapshot commit. ``result`` must carry ``__bucket``.
+
+        ``fuse_lww=True``: ``result`` is the source ∪ target union (with
+        ``__is_tgt``) and the per-key LWW resolution itself runs HERE, as a
+        ``max_by`` grouped by ``(__grp, __bucket, keys)`` directly on top of
+        the write repartition — ``__grp`` is a deterministic function of the
+        keys, so hash-partitioning by it alone already co-locates every key
+        (``HashPartitioning(__grp)`` satisfies the aggregation's clustering
+        requirement; Catalyst inserts no second exchange), and the
+        SortAggregate's grouping sort doubles as the write's layout sort."""
         keys = snap.key_cols
         new_version = snap.version + 1
         out_dir = self._data_dir(new_version)
@@ -1943,16 +2001,43 @@ class LakeTable:
         if salts is not None:
             salt_arr = F.array(*[F.lit(s) for s in salts])
             group = F.element_at(salt_arr, group + 1)
-        (
-            result.withColumn("__grp", group.cast("int"))
-            .repartition(n_parts, "__grp")
-            .drop("__grp")
+        out = result.withColumn("__grp", group.cast("int")).repartition(
+            n_parts, "__grp"
+        )
+        if fuse_lww:
+            from pyspark.sql import Window as W
+
+            lsnc = snap.lsn_col
+            # per-key LWW via ONE window sort, never an aggregation: a
+            # max_by(struct(whole row)) carries a variable-length buffer and
+            # degenerates to a buffer-churning SortAggregate (the exact
+            # plan shape cdc/reduce.py decomposed away — measured slower
+            # than the join it replaced). row_number's sort
+            # (__grp, __bucket, keys, lsn DESC, __is_tgt DESC) costs one
+            # pass, picks the strictly-greater-LSN source (target wins ties
+            # via __is_tgt; a null target LSN sorts last under DESC,
+            # matching the join's ``t_lsn IS NULL`` arm) — and IS the
+            # write's layout sort: __grp is constant within each output
+            # partition, so the explicit sortWithinPartitions below is
+            # subsumed (prefix match) and removed as redundant.
+            w = W.partitionBy("__grp", "__bucket", *keys).orderBy(
+                F.desc(lsnc), F.desc("__is_tgt")
+            )
+            out = (
+                out.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .sortWithinPartitions("__grp", "__bucket", *keys)
+                .drop("__grp", "__is_tgt", "__rn")
+            )
+        else:
+            out = out.drop("__grp")
             # secondary sort by key: parquet row-group min/max stats on the
             # key columns become tight, so pushed key-equality predicates
             # (point lookups) skip row groups inside each bucket file
-            .sortWithinPartitions("__bucket", *keys)
-            .write.mode("overwrite")
-            .options(**self._parquet_write_options(result.columns))
+            out = out.sortWithinPartitions("__bucket", *keys)
+        (
+            out.write.mode("overwrite")
+            .options(**self._parquet_write_options(out.columns))
             .parquet(out_dir)
         )
 

@@ -30,6 +30,15 @@ def events_as_cdc_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     - commit   = first 40 hex of sha256(lsn)
     """
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # the driver fixture is a SINGLE file with one 128m row group, so the
+    # scan cannot split: every downstream expression (one sha256 per row for
+    # the commit hash) would run on one core. Fan the narrow raw rows out
+    # once, by a deterministic hash key (never round-robin: keyless
+    # repartition pays a per-partition sort and is retry-unsafe), sized to
+    # the session parallelism; already-parallel inputs skip the shuffle.
+    par = spark.sparkContext.defaultParallelism
+    if ev.rdd.getNumPartitions() < max(2, par // 2):
+        ev = ev.repartition(par, "event_id")
     value_cents = F.round(F.col("value") * 100).cast("long")
     content = F.concat_ws(
         ":",

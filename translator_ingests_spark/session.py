@@ -44,6 +44,21 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # parquet row-group size for everything this engine WRITES. Scan
+        # parallelism of a parquet file is bounded by its row-group count
+        # (a split only processes row groups whose midpoint falls inside
+        # it), and the default 128m block turns any single-task write into
+        # a near-unsplittable file — measured: a 1M-event replay log written
+        # as one 128m row group re-scans on 1 of 32 cores. 16m keeps every
+        # materialized log/lake file splittable ~8x per 128m while row
+        # groups stay large enough for dictionary/statistics efficiency; at
+        # cluster scale raise it via SPARK_GRAFT_PARQUET_BLOCK (files there
+        # are written by many tasks, so splittability matters less than
+        # compression ratio).
+        .config(
+            "spark.hadoop.parquet.block.size",
+            os.environ.get("SPARK_GRAFT_PARQUET_BLOCK", str(16 * 1024 * 1024)),
+        )
         # direct task commit (no serial driver-side rename pass) and no
         # local-FS .crc sidecars — both dominate small-commit latency
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")

@@ -74,6 +74,13 @@ class ChangesConsumer:
         # projection-scoped feed: prune scans + diff to key cols + these
         # columns; a key changed only outside them does not emit
         self.columns = list(columns) if columns is not None else None
+        # the name doubles as the local cursor filename AND the retention-pin
+        # registry key: validate it BEFORE any file is written, so a name
+        # with a path separator can neither escape checkpoint_dir here nor
+        # fail register_cursor only after _advance persisted the local file
+        from translator_ingests_spark.lake.refs import _check_cursor_name
+
+        _check_cursor_name(name)
         os.makedirs(checkpoint_dir, exist_ok=True)
         self._cursor_path = os.path.join(checkpoint_dir, f"{name}.cursor.json")
 
@@ -153,7 +160,14 @@ class ChangesConsumer:
         Returns the number of batches processed."""
         n = 0
         while True:
-            batch = self.poll()
+            try:
+                batch = self.poll()
+            except CursorExpiredError as e:
+                # report partial progress: batches already applied AND
+                # committed before the cursor expired mid-drain — heal paths
+                # (lake/derived.py) add it to their returned batch count
+                e.batches_done = n
+                raise
             if batch is None:
                 return n
             df, v_from, v_to = batch
