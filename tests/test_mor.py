@@ -229,7 +229,7 @@ def test_read_without_deltas_never_folds(spark, tmp_path):
     events = [ev(i, "insert", "r", f"p{i}", "c", "py", f"v{i}") for i in range(4)]
     eng = run(spark, tmp_path, events, write_mode="cow", events_per_batch=100)
     plan = _plan(eng.table.read())
-    assert "max_by" not in plan and "Aggregate" not in plan
+    assert "WindowGroupLimit" not in plan and "Aggregate" not in plan
 
 
 def test_read_with_deltas_folds_only_touched_buckets(spark, tmp_path):
@@ -256,7 +256,9 @@ def test_read_with_deltas_folds_only_touched_buckets(spark, tmp_path):
     # pruning is real: the folded slice excludes at least one clean base file
     assert len(hot) < len(snap.files) - len(deltas)
     plan = _plan(eng.table.read())
-    assert "max_by" in plan  # the fold runs...
+    # the fold runs (row_number group-limit window since r06 — same
+    # survivor as the old max_by aggregation, with a partial map-side pass)
+    assert "WindowGroupLimit" in plan
     st = state(eng)
     assert st[("r", "p7")]["content"] == "fresh"
 

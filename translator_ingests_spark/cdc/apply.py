@@ -711,7 +711,10 @@ class CdcEngine:
                         r["__b"]
                         for r in valid.select(bucket.alias("__b")).distinct().collect()  # bounded-collect: <= num_buckets rows
                     )
-                reduced = lww_reduce(valid, keys=list(snap.key_cols), simple=True)
+                reduced = lww_reduce(
+                    valid, keys=list(snap.key_cols), simple=True,
+                    simple_via_window=True,
+                )
             else:
                 winners = valid.groupBy(*snap.key_cols).agg(
                     F.max(F.col("lsn")).alias("__wl")

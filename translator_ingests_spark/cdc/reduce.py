@@ -70,6 +70,7 @@ def lww_reduce(
     broadcast_winners: bool | None = None,
     winners: DataFrame | None = None,
     simple: bool = False,
+    simple_via_window: bool = False,
 ) -> DataFrame:
     """Reduce to one row per key: the max-(lsn, op_rank, hash) survivor.
 
@@ -121,14 +122,40 @@ def lww_reduce(
         if f.name != lsn_col and not isinstance(f.dataType, MapType)
     ]
     if simple:
-        # SMALL-BATCH fast path: one max_by over the SAME total order
-        # (lsn, op_rank, tie hash) — a single SortAggregate job. The
-        # decomposed plan's winners materialization + exact-count broadcast
-        # gate cost a fixed ~0.2s/batch that never amortizes below ~1M
-        # events (round-3 VERDICT #3); below that a full-batch sort is
-        # cheaper than three jobs. Caller contract: ``lsn_col`` non-null
-        # (the engine's validity filter guarantees it) — all-null-LSN keys
-        # need the decomposed path's null-safe join.
+        # SMALL-BATCH fast path, two equivalent physical shapes over the
+        # SAME total order (lsn desc, op_rank desc, tie hash desc) —
+        # identical survivor either way. The decomposed plan's winners
+        # materialization + exact-count broadcast gate cost a fixed
+        # ~0.2s/batch that never amortizes below ~1M events (round-3
+        # VERDICT #3). Caller contract: ``lsn_col`` non-null (the engine's
+        # validity filter guarantees it) — all-null-LSN keys need the
+        # decomposed path's null-safe join.
+        #
+        # ``simple_via_window=True`` (the ENGINE's merge path, which
+        # consumes every column): a rank<=1 row_number window — plans as
+        # WindowGroupLimit with a PARTIAL pass below the exchange (each
+        # input partition pruned to one row per key map-side) and no
+        # variable-length aggregation buffer; A/B'd ~17% faster than the
+        # max_by when all columns are materialized.
+        #
+        # Default (standalone reduce-only queries): the max_by aggregation —
+        # under a consumer that prunes columns (count(), key-only
+        # projections) Catalyst drops the unused max_by aggregate and the
+        # whole payload/tie-hash computation with it, which the window
+        # cannot do (its order expressions are always live).
+        if simple_via_window:
+            from pyspark.sql import Window as W
+
+            w = W.partitionBy(*keys).orderBy(
+                F.col(lsn_col).desc(),
+                _op_rank(op_col).desc(),
+                F.xxhash64(*[F.col(c) for c in hashable]).desc(),
+            )
+            return (
+                df.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .select(*cols)
+            )
         payload = F.struct(*[F.col(c) for c in cols]).alias("__row")
         order = F.struct(
             F.col(lsn_col).alias("o0"),

@@ -89,21 +89,27 @@ def _lww_fold(df: DataFrame, key_cols: list[str], lsn_col: str) -> DataFrame:
     equal LSN as redelivered identical events — either survivor is the same
     row.)
 
-    One ``max_by`` hash aggregation carrying the whole row. The struct
-    buffer demotes this pass to ObjectHashAggregate — acceptable HERE and
-    only here because the fold's input is the delta-touched slice, never the
-    table: ``_net_raw`` routes clean base files around it, and the
-    incremental-compaction cadence folds deltas into base files so the slice
-    stays O(recent batches). (The WRITE path's reduce keeps its decomposed
-    primitive-buffer plan — see cdc/reduce.py — because it scans every
-    event of every batch; this fold scans only what MOR deferred.)"""
+    One ``row_number`` window pass over the same total order — identical
+    survivor to a ``max_by(struct(row))`` aggregation, but that shape
+    carries the whole row in a variable-length buffer (ObjectHashAggregate
+    churn), while the rank<=1 window plans as WindowGroupLimit with a
+    PARTIAL pass below the exchange: each scan partition is pruned to one
+    row per key map-side before anything shuffles. The fold's input is the
+    delta-touched slice, never the table: ``_net_raw`` routes clean base
+    files around it, and the incremental-compaction cadence folds deltas
+    into base files so the slice stays O(recent batches)."""
+    from pyspark.sql import Window as W
+
     data_cols = [c for c in df.columns if c != _IS_DELTA_COL]
-    order = F.struct(
-        F.col(lsn_col).alias("l"),
-        (~F.col(_IS_DELTA_COL)).cast("int").alias("base_wins_ties"),
+    w = W.partitionBy(*[F.col(k) for k in key_cols]).orderBy(
+        F.col(lsn_col).desc(),
+        (~F.col(_IS_DELTA_COL)).cast("int").desc(),
     )
-    packed = F.max_by(F.struct(*[F.col(c) for c in data_cols]), order).alias("__row")
-    return df.groupBy(*[F.col(k) for k in key_cols]).agg(packed).select("__row.*")
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(*data_cols)
+    )
 
 
 @dataclass(frozen=True)

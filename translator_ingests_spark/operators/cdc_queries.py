@@ -29,16 +29,12 @@ def events_as_cdc_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     - content  = deterministic string of (event_type, value-cents, props)
     - commit   = first 40 hex of sha256(lsn)
     """
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from translator_ingests_spark.operators.scan_util import fan_out
+
     # the driver fixture is a SINGLE file with one 128m row group, so the
     # scan cannot split: every downstream expression (one sha256 per row for
-    # the commit hash) would run on one core. Fan the narrow raw rows out
-    # once, by a deterministic hash key (never round-robin: keyless
-    # repartition pays a per-partition sort and is retry-unsafe), sized to
-    # the session parallelism; already-parallel inputs skip the shuffle.
-    par = spark.sparkContext.defaultParallelism
-    if ev.rdd.getNumPartitions() < max(2, par // 2):
-        ev = ev.repartition(par, "event_id")
+    # the commit hash) would run on one core without the fan-out
+    ev = fan_out(spark.read.parquet(f"{sf_dir}/events.parquet"), "event_id")
     value_cents = F.round(F.col("value") * 100).cast("long")
     content = F.concat_ws(
         ":",

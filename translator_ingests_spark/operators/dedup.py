@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from translator_ingests_spark.operators.scan_util import load_documents
+
 _TOKEN_RE = "[^a-zA-Z0-9]+"
 
 # Persisted intermediates, keyed by operator tag. A dedup operator persists
@@ -181,7 +183,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by content digest: groups of byte-identical documents,
     deterministic survivor = min doc_id (A7/A8 analog at content scale —
     one hash aggregate, no join)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_documents(spark, sf_dir)
     return (
         docs.groupBy(F.sha2(F.col("text"), 256).alias("content_sha256"))
         .agg(
@@ -255,7 +257,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     single executor at web scale. The pre-filter's own count aggregation is
     map-side combinable (no arrays), so every array that reaches a buffer
     holds ≤ DF_CAP ids by construction."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_documents(spark, sf_dir)
     sh = _capped_shingles(docs)
     # persisted because BOTH consumers below (sizes, pairs) branch from it
     # and Spark materializes shared DataFrame subtrees once per consumer —
@@ -345,7 +347,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     The expensive join keys on the *band value* — at scale the shuffle is
     O(docs × bands) and pair blowup is bounded by bucket collisions, which
     is the whole point of LSH vs the Jaccard self-join above."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_documents(spark, sf_dir)
     # explode shingles ONCE (stop-shingles DF-capped like the Jaccard path —
     # a universal shingle would otherwise drag every signature toward the
     # same minima and pile all docs into the same band buckets), then compute
@@ -404,7 +406,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash from token md5s: bit b votes +1/-1 by bit (b % 4) of
     hex digit (b // 4) of each distinct token's md5; signature groups are
     dup candidates (single equality-join key — the cheapest LSH)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_documents(spark, sf_dir)
     return _simhash_df(docs, "simhash64").orderBy("doc_id")
 
 
@@ -585,7 +587,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     band the distinct-sig table, refine Hamming ONCE per signature pair,
     then broadcast the surviving sig pairs against the doc→sig map to expand
     into doc pairs. Shuffle volume ∝ distinct signatures + true output."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_documents(spark, sf_dir)
     # persisted: the signature fold is the expensive stage and FOUR
     # consumers branch from it (dsig, both sides of the identical-sig
     # self-join, and the cross expansion) — Spark materializes shared
@@ -716,7 +718,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     The convergence check rides the SAME job that materializes the round's
     labels (count of changed labels), so each round is exactly one job.
     """
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = load_documents(spark, sf_dir).select("doc_id")
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     edges = (
         pairs.selectExpr("doc_a AS u", "doc_b AS v")

@@ -19,6 +19,16 @@ _N_QUERIES = 10  # vec_id < 10 are the query vectors
 _TOP_K = 5
 
 
+def _load_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus scan with adaptive fan-out: the single-file fixture otherwise
+    scans as one task, serializing every downstream cosine fold / Arrow
+    matmul onto one core (scan_util.fan_out is a no-op on well-split
+    inputs)."""
+    from translator_ingests_spark.operators.scan_util import fan_out
+
+    return fan_out(spark.read.parquet(f"{sf_dir}/embeddings.parquet"), "vec_id")
+
+
 def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -58,7 +68,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is the per-partition scan pattern: broadcast queries, map-side
     score, per-query top-k via partial aggregation (window over small key
     space), no corpus shuffle."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _load_emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
@@ -129,7 +139,8 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF variant swaps the sign pattern for a nearest-centroid id; same join
     shape.)"""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    n_planes = _n_planes(emb.count())  # parquet count: footer-only, no scan
+    # count off the raw scan: footer-only, no fan-out shuffle
+    n_planes = _n_planes(spark.read.parquet(f"{sf_dir}/embeddings.parquet").count())
     bucket = F.concat(
         *[
             F.when(F.element_at(F.col("embedding"), i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
@@ -236,7 +247,8 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     refine on candidates only (pairs sharing no band are not compared, by
     design — banding is the recall/cost knob, documented above)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    w = _emb_band_width(emb.count())  # footer-only count
+    # count off the raw scan: footer-only, no fan-out shuffle
+    w = _emb_band_width(spark.read.parquet(f"{sf_dir}/embeddings.parquet").count())
     n_bands = _emb_band_count(w)
     sig = F.concat(
         *[
@@ -415,9 +427,13 @@ def ann_ivf_flat(spark: SparkSession, sf_dir: str, nprobe: int = _IVF_NPROBE) ->
     reading nprobe/K of the data); here the tiny (q_id, cell) pairs
     broadcast onto the corpus scan, which is the same plan shape.
     """
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    cent_rows = _ivf_centroids(emb)
-    return _ann_ivf_arrow(emb, cent_rows, nprobe)
+    # centroids come off the RAW scan (footer-count + pushed isin filter —
+    # the fan-out would make the count pay a shuffle); only the scored
+    # corpus fans out
+    cent_rows = _ivf_centroids(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    return _ann_ivf_arrow(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), cent_rows, nprobe
+    )
 
 
 def _ivf_centroids(emb: DataFrame):
@@ -442,7 +458,7 @@ def ann_ivf_flat_fold(spark: SparkSession, sf_dir: str, nprobe: int = _IVF_NPROB
     interpreted per-element lambda cost makes the Arrow path the default.
     """
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    cent_rows = _ivf_centroids(emb)
+    cent_rows = _ivf_centroids(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     k = len(cent_rows)
     if k > _IVF_FOLD_MAX:
         # the fold's literal would leave codegen entirely — delegate
@@ -744,7 +760,8 @@ def build_ivf_index(
     import os
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    n = emb.count()
+    # footer-only count off the raw scan (fan-out would shuffle first)
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
     k = _ivf_k(n)
     step = max(1, n // k)
     cent_ids = [i * step for i in range(k)]

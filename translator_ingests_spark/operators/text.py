@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from translator_ingests_spark.operators.scan_util import load_documents
+
 # tiny per-language stopword lists for the n-gram/stopword language heuristic
 STOP_EN = ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"]
 STOP_DE = ["der", "die", "das", "und", "ist", "zu", "den", "mit", "von", "ein"]
@@ -26,7 +28,7 @@ def _tokens(col):
 
 def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace/regex token counting per document."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_documents(spark, sf_dir)
     toks = _tokens(F.col("text"))
     return (
         docs.select(
@@ -55,7 +57,7 @@ ORDER BY doc_id
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality heuristics: length, punctuation ratio, stopword ratio, mean
     token length — the gates a pretraining pipeline filters on."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_documents(spark, sf_dir)
     toks = _tokens(F.col("text"))
     n_tok = F.size(toks)
     stop_hits = F.size(F.filter(toks, lambda x: x.isin(STOP_EN)))
@@ -111,7 +113,7 @@ ORDER BY doc_id
 def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-profile language ID: score each language by distinct-stopword
     hits, argmax with deterministic tie order (en > de > fr > unknown)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_documents(spark, sf_dir)
     toks = F.array_distinct(_tokens(F.col("text")))
     s_en = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in STOP_EN])))
     s_de = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in STOP_DE])))
@@ -164,7 +166,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style fingerprint: md5 each distinct token, keep the 4
     smallest hashes (the sketch), fingerprint = md5 of their join — a
     deterministic rolling-hash-style document signature."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_documents(spark, sf_dir)
     tok_hashes = F.sort_array(
         F.transform(F.array_distinct(_tokens(F.col("text"))), lambda x: F.md5(x))
     )
@@ -200,7 +202,7 @@ ORDER BY doc_id
 def content_sha256_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The per-row content digest invariant over documents (JVM sha2 —
     matches DuckDB sha256 byte-for-byte)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_documents(spark, sf_dir)
     return docs.select(
         "doc_id", F.sha2(F.col("text"), 256).alias("content_sha256")
     ).orderBy("doc_id")
@@ -219,7 +221,7 @@ def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     every per-doc metric in a single pass). Registered as the driver-gated
     composite for the token_count / text_quality_score / lang_id_ngram
     operators, all of which stay individually exported for bench/pytest."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_documents(spark, sf_dir)
     toks = _tokens(F.col("text"))
     dtoks = F.array_distinct(toks)
     n_tok = F.size(toks)

@@ -66,13 +66,17 @@ def get_spark(
         # wide rows (KB-scale content) make sort-merge joins sort-bound;
         # shuffled-hash joins skip the sort entirely
         .config("spark.sql.join.preferSortMergeJoin", "false")
-        # the LWW reduce joins the full event stream against a winners table
-        # of one tiny row per key; broadcasting winners avoids shuffling the
-        # (1000x larger) event rows at all. The 10m default refuses at
-        # ~100k keys — 64m covers per-batch key counts into the millions,
-        # while genuinely huge batches still fall back to a skew-split
-        # shuffled-hash join (the correct 100-TB behavior).
-        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # STATIC broadcast decisions stay at the 10m default: file-size ×
+        # selectivity estimates are unreliable enough that a raised static
+        # threshold was observed to broadcast a filtered FACT table (q3's
+        # lineitem side — a driver-collect of millions of rows, and exactly
+        # the side that must stream at 100 TB). The LWW reduce's winners
+        # side doesn't need the static threshold — the engine passes an
+        # explicit broadcast() hint when its exact per-batch key count
+        # qualifies (cdc/apply.py). The ADAPTIVE threshold, which acts on
+        # runtime-exact shuffle sizes, stays at 64m so genuinely small
+        # post-filter sides still convert to broadcast at runtime.
+        .config("spark.sql.autoBroadcastJoinThreshold", "10m")
         .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
     )
     for k, v in (extra_conf or {}).items():
