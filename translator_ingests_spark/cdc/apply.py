@@ -348,6 +348,11 @@ class CdcEngine:
             F.max(F.when(is_valid, F.col("source_offset"))).alias("offset_max"),
             F.min(F.when(is_valid, F.col("lsn"))).alias("lsn_min"),
             F.max(F.when(is_valid, F.col("lsn"))).alias("lsn_max"),
+            # schema-change presence rides the same pass so the dedicated
+            # schema-event scan below runs ONLY when one exists — on the
+            # common no-schema-change log that second full-log job (and its
+            # scan of the schema_change struct column) disappears entirely
+            F.count(F.when(F.col("op") == "schema_change", 1)).alias("n_schema"),
         ]
         if snap0.num_buckets <= 64:
             # the batch's affected-bucket SET as a bit_or mask — a primitive
@@ -367,21 +372,17 @@ class CdcEngine:
             )
         meta_q = events.groupBy("__batch", "source_partition").agg(*meta_aggs)
 
-        # schema-change events: a column-pruned filter scan (predicate
-        # reaches the reader; virtually no rows match) — run CONCURRENTLY
-        # with the meta aggregation so the per-run fixed cost is max(two
-        # jobs), not their sum
-        schema_q = events.filter(F.col("op") == "schema_change").select(
-            "__batch", "lsn", "schema_change"
-        )
-
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            fut_meta = pool.submit(meta_q.collect)
-            fut_schema = pool.submit(schema_q.collect)
-            meta_rows = fut_meta.result()
-            schema_rows_all = fut_schema.result()
+        meta_rows = meta_q.collect()
+        if any(r["n_schema"] for r in meta_rows):
+            # schema-change events exist: fetch them with a column-pruned
+            # filter scan (predicate reaches the reader; few rows match)
+            schema_rows_all = (
+                events.filter(F.col("op") == "schema_change")
+                .select("__batch", "lsn", "schema_change")
+                .collect()
+            )
+        else:
+            schema_rows_all = []
 
         schema_events: dict[int, list] = {}
         for r in schema_rows_all:

@@ -1849,6 +1849,17 @@ class LakeTable:
                 F.col("__bucket"),
                 F.lit(0).alias("__is_tgt"),
             )
+            if not affected_files:
+                # EMPTY-TARGET fast path (initial/bulk load): the source is
+                # already one row per key, so the LWW resolution window has
+                # nothing to resolve — write the aligned source rows
+                # directly (one exchange + layout sort, no window pass)
+                return self._finish_merge(
+                    snap, s_rows.drop("__is_tgt"), affected, untouched_files,
+                    batch_id, lineage, metrics, code_hash, stats_out,
+                    advance_watermark_to, delivery, obs, src, op_col,
+                    None if obs is not None else merge_counts, delta=False,
+                )
             t_rows = tgt.select(
                 *[F.col(k) for k in keys],
                 *[F.col(c) for c in value_cols],

