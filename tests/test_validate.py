@@ -71,3 +71,33 @@ def test_validation_catches_duplicate_keys_by_construction(spark, tmp_path):
     eng.table._commit_snapshot(snap)
     report = validate_engine_state(eng)
     assert report["duplicate_keys"] > 0 and not report["passed"]
+
+
+def test_redelivered_batches_counted_separately(spark, tmp_path):
+    """Round-6 ADVICE fix: redelivered-boundary units are reported under
+    their own counter, not mislabeled as scatter delivery."""
+    eng = _build(spark, tmp_path, n=200)
+    # rewrite one manifest's delivery stamp to the redelivered label
+    import json
+
+    p = sorted(glob.glob(os.path.join(eng._ckpt_dir, "batch-*.json")))[0]
+    with open(p) as fh:
+        m = json.load(fh)
+    m["delivery"] = "redelivered"
+    with open(p, "w") as fh:
+        json.dump(m, fh)
+    report = validate_engine_state(eng)
+    assert report["redelivered_batches"] == 1
+    assert report["scatter_batches"] == 0
+
+
+def test_consumer_name_validated_before_any_write(spark, tmp_path):
+    """Round-6 ADVICE fix: a path-escaping consumer name must fail in
+    __init__, before any cursor file can land outside checkpoint_dir."""
+    from translator_ingests_spark.streaming.change_consumer import ChangesConsumer
+
+    eng = _build(spark, tmp_path, n=200)
+    ckpt = str(tmp_path / "ckpt")
+    with pytest.raises(ValueError):
+        ChangesConsumer(eng.table, ckpt, name="../escape")
+    assert not os.path.exists(str(tmp_path / "escape.cursor.json"))
