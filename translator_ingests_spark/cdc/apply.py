@@ -681,6 +681,8 @@ class CdcEngine:
             # merge job reuses the cached winners instead of re-aggregating
             # the events.
             winners = None
+            pre_group = False
+            unit_mode = None
             small_batch = n_valid <= self.small_batch_events
             if self.partial_updates:
                 # column-wise reduce (one aggregation); bucket set as on the
@@ -702,7 +704,7 @@ class CdcEngine:
                 # fixed cost. The affected buckets come precomputed from the
                 # upfront bit_or mask when available (zero extra jobs — the
                 # unit runs ONLY the merge) or from a primitive distinct
-                # over the cached events; the one-job max_by reduce executes
+                # over the cached events; the one-job window reduce executes
                 # INSIDE the merge's write pass.
                 if pre_buckets is not None:
                     affected_buckets = pre_buckets
@@ -712,10 +714,54 @@ class CdcEngine:
                         r["__b"]
                         for r in valid.select(bucket.alias("__b")).distinct().collect()  # bounded-collect: <= num_buckets rows
                     )
-                reduced = lww_reduce(
-                    valid, keys=list(snap.key_cols), simple=True,
-                    simple_via_window=True,
+                # PRE-GROUPED unit (guide §2.4 — one exchange per unit):
+                # when the unit writes without reading a target (a MOR
+                # delta commit, or a bulk load onto empty buckets), the
+                # whole pipeline — reduce, derive, layout write — can ride
+                # ONE exchange: partition the batch by the write's
+                # bucket-group mapping up front, run the LWW window
+                # clustered on (__grp, __bucket, keys) (no further
+                # exchange: __grp is a function of the keys), and let the
+                # merge skip its repartition — the reduce window's sort IS
+                # the write sort. COW units with a live target keep the
+                # key-partitioned reduce (their union re-shuffles anyway,
+                # and the key exchange's map-side group-limit prunes dups
+                # before the wire).
+                unit_mode = self._resolve_write_mode(
+                    snap, affected_buckets, n_valid
                 )
+                pre_group = (
+                    bool(affected_buckets)
+                    and os.environ.get("SPARK_GRAFT_PREGROUP", "1") != "0"
+                    and (
+                        unit_mode == "mor"
+                        or not self.table._files_overlapping(
+                            snap, affected_buckets
+                        )
+                    )
+                )
+                if pre_group:
+                    n_parts, group = self.table._write_group(
+                        snap, sorted(set(affected_buckets))
+                    )
+                    bucket = self.table._bucket_expr(
+                        snap.num_buckets, snap.key_cols
+                    )
+                    pv = (
+                        valid.withColumn("__bucket", bucket)
+                        .withColumn("__grp", group)
+                        .repartition(n_parts, "__grp")
+                    )
+                    reduced = lww_reduce(
+                        pv, keys=list(snap.key_cols), simple=True,
+                        simple_via_window=True,
+                        cluster_cols=["__grp", "__bucket"],
+                    )
+                else:
+                    reduced = lww_reduce(
+                        valid, keys=list(snap.key_cols), simple=True,
+                        simple_via_window=True,
+                    )
             else:
                 winners = valid.groupBy(*snap.key_cols).agg(
                     F.max(F.col("lsn")).alias("__wl")
@@ -741,7 +787,10 @@ class CdcEngine:
                 )
 
             source = self._derive_columns(reduced, snap)
-            unit_mode = self._resolve_write_mode(snap, affected_buckets, n_valid)
+            if unit_mode is None:
+                unit_mode = self._resolve_write_mode(
+                    snap, affected_buckets, n_valid
+                )
             metrics = {
                 "events_in": int(events_in),
                 "invalid_events": int(events_in - n_valid),
@@ -773,6 +822,7 @@ class CdcEngine:
                 delivery=self._delivery,
                 mode=unit_mode,
                 partial_update=self.partial_updates,
+                src_pre_grouped=pre_group,
             )
             if winners is not None:
                 winners.unpersist()
@@ -880,6 +930,12 @@ class CdcEngine:
             else:
                 cols.append(F.lit(None).cast(_SPARK_TYPES[fld.type]).alias(fld.name))
         cols += [F.col("op"), F.col("lsn")]
+        for pc in ("__bucket", "__grp"):
+            # pre-grouped batches (see _apply_data_unit) carry the write
+            # layout's bucket/group columns through the derive untouched so
+            # the merge can skip recomputing them and reuse the exchange
+            if pc in reduced.columns:
+                cols.append(F.col(pc))
         if "__del_lsn" in reduced.columns:
             # partial mode: the batch's kill marker rides through to merge
             cols.append(F.col("__del_lsn"))

@@ -71,6 +71,7 @@ def lww_reduce(
     winners: DataFrame | None = None,
     simple: bool = False,
     simple_via_window: bool = False,
+    cluster_cols: list[str] | None = None,
 ) -> DataFrame:
     """Reduce to one row per key: the max-(lsn, op_rank, hash) survivor.
 
@@ -146,10 +147,19 @@ def lww_reduce(
         if simple_via_window:
             from pyspark.sql import Window as W
 
-            w = W.partitionBy(*keys).orderBy(
+            # ``cluster_cols``: caller-supplied columns that are pure
+            # FUNCTIONS of the keys (e.g. the write layout's __bucket /
+            # __grp) — prepended to the window partitioning so an input
+            # the caller already repartitioned by them needs NO further
+            # exchange, and excluded from the tie hash so the survivor on
+            # pathological same-(lsn, op)-ties is byte-identical with and
+            # without them.
+            cl = list(cluster_cols or [])
+            tie_cols = [c for c in hashable if c not in cl]
+            w = W.partitionBy(*cl, *keys).orderBy(
                 F.col(lsn_col).desc(),
                 _op_rank(op_col).desc(),
-                F.xxhash64(*[F.col(c) for c in hashable]).desc(),
+                F.xxhash64(*[F.col(c) for c in tie_cols]).desc(),
             )
             return (
                 df.withColumn("__rn", F.row_number().over(w))

@@ -1017,6 +1017,21 @@ class LakeTable:
     def _bucket_expr(self, num_buckets: int, key_cols: list[str]):
         return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(num_buckets)).cast("int")
 
+    def _write_group(self, snap: "Snapshot", affected: list[int]):
+        """The write layout's (n_parts, group expression over ``__bucket``)
+        — the deterministic bucket-group → shuffle-partition mapping
+        ``_finish_merge`` partitions every commit by. Exposed so the apply
+        loop can pre-partition a batch by the SAME mapping and let the
+        whole unit (reduce → derive → write) ride one exchange."""
+        par = self.spark.sparkContext.defaultParallelism
+        n_parts = max(1, min(len(affected), par))
+        group = F.floor(F.col("__bucket") * n_parts / snap.num_buckets).cast("int")
+        salts = _partition_salts(self.spark, n_parts)
+        if salts is not None:
+            salt_arr = F.array(*[F.lit(s) for s in salts])
+            group = F.element_at(salt_arr, group + 1)
+        return n_parts, group.cast("int")
+
     def _read_files(
         self, snap: Snapshot, files: list[dict], raw: bool = False
     ) -> DataFrame:
@@ -1671,6 +1686,7 @@ class LakeTable:
         delivery: str = "in_order",
         mode: str = "cow",
         partial_update: bool = False,
+        src_pre_grouped: bool = False,
     ) -> Snapshot:
         """Idempotent last-writer-wins MERGE of a pre-reduced batch.
 
@@ -1733,7 +1749,16 @@ class LakeTable:
         if snap.low_watermark >= 0:
             source = source.filter(F.col(lsn_col) > F.lit(snap.low_watermark))
 
-        src = source.withColumn("__bucket", self._bucket_expr(snap.num_buckets, keys))
+        # a pre-grouped source (apply loop rode the write-group exchange)
+        # already carries __bucket (and __grp); recomputing would discard
+        # the ordering/partitioning lineage the pre-grouped write relies on
+        if "__bucket" in source.columns:
+            src = source
+        else:
+            src = source.withColumn(
+                "__bucket", self._bucket_expr(snap.num_buckets, keys)
+            )
+        src_pre_grouped = src_pre_grouped and "__grp" in src.columns
         # affected buckets: tiny driver-side list (≤ num_buckets), this is
         # the bucket-pruning step that keeps merge cost O(batch), not
         # O(table). Callers that already know the batch's bucket set (the
@@ -1795,12 +1820,14 @@ class LakeTable:
                 .otherwise(s_extras)
                 .alias(EXTRAS_COL),
                 F.col("__bucket"),
+                *([F.col("__grp")] if src_pre_grouped else []),
             )
             return self._finish_merge(
                 snap, result, affected, list(snap.files), batch_id, lineage,
                 metrics, code_hash, stats_out, advance_watermark_to, delivery,
                 obs, src, op_col,
                 None if obs is not None else merge_counts, delta=True,
+                pre_grouped=src_pre_grouped,
             )
 
         # file pruning: only files whose bucket range intersects the batch
@@ -1847,19 +1874,26 @@ class LakeTable:
                 .otherwise(s_extras)
                 .alias(EXTRAS_COL),
                 F.col("__bucket"),
+                *([F.col("__grp")] if src_pre_grouped else []),
                 F.lit(0).alias("__is_tgt"),
             )
             if not affected_files:
                 # EMPTY-TARGET fast path (initial/bulk load): the source is
                 # already one row per key, so the LWW resolution window has
                 # nothing to resolve — write the aligned source rows
-                # directly (one exchange + layout sort, no window pass)
+                # directly (one exchange + layout sort, no window pass; a
+                # pre-grouped source skips even that exchange)
                 return self._finish_merge(
                     snap, s_rows.drop("__is_tgt"), affected, untouched_files,
                     batch_id, lineage, metrics, code_hash, stats_out,
                     advance_watermark_to, delivery, obs, src, op_col,
                     None if obs is not None else merge_counts, delta=False,
+                    pre_grouped=src_pre_grouped,
                 )
+            if src_pre_grouped:
+                # non-empty target: the union re-shuffles anyway, and the
+                # target branch has no __grp — drop the source's
+                s_rows = s_rows.drop("__grp")
             t_rows = tgt.select(
                 *[F.col(k) for k in keys],
                 *[F.col(c) for c in value_cols],
@@ -1980,6 +2014,7 @@ class LakeTable:
         merge_counts: dict | None,
         delta: bool,
         fuse_lww: bool = False,
+        pre_grouped: bool = False,
     ) -> Snapshot:
         """Shared merge tail: the partitioned write, observation resolution,
         manifest splice (``delta=True`` flags merge-on-read files) and the
@@ -2006,22 +2041,22 @@ class LakeTable:
         # many small partitions and serializes in the committer. Sort within
         # partitions keeps bucket ids RLE-cheap and row groups clustered.
         # file count ∝ cluster parallelism, not bucket count — 64 tiny files
-        # per commit just multiply task-scheduling and footer costs
-        par = self.spark.sparkContext.defaultParallelism
-        n_parts = max(1, min(len(affected), par))
-        group = F.floor(F.col("__bucket") * n_parts / snap.num_buckets).cast("int")
-        # map each bucket group to EXACTLY one shuffle partition via
-        # precomputed salts (pmod(hash(salt), n) == group) — plain
-        # repartition(n, group) would hash-collide groups (~1/e of writers
-        # idle, files spanning unrelated bucket ranges)
-        salts = _partition_salts(self.spark, n_parts)
-        if salts is not None:
-            salt_arr = F.array(*[F.lit(s) for s in salts])
-            group = F.element_at(salt_arr, group + 1)
-        out = result.withColumn("__grp", group.cast("int")).repartition(
-            n_parts, "__grp"
-        )
-        if fuse_lww:
+        # per commit just multiply task-scheduling and footer costs.
+        # (group→partition mapping via precomputed salts: plain
+        # repartition(n, group) would hash-collide groups — ~1/e of writers
+        # idle, files spanning unrelated bucket ranges.)
+        n_parts, group = self._write_group(snap, affected)
+        if pre_grouped:
+            # the caller already partitioned ``result`` by this exact
+            # mapping (apply loop, via _write_group) and its reduce window
+            # sorted it by (__grp, __bucket, keys, ...) — no exchange here;
+            # the explicit sort is a redundant prefix of the window's and
+            # is removed by the planner.
+            out = (
+                result.sortWithinPartitions("__grp", "__bucket", *keys)
+                .drop("__grp")
+            )
+        elif fuse_lww:
             from pyspark.sql import Window as W
 
             lsnc = snap.lsn_col
@@ -2041,17 +2076,23 @@ class LakeTable:
                 F.desc(lsnc), F.desc("__is_tgt")
             )
             out = (
-                out.withColumn("__rn", F.row_number().over(w))
+                result.withColumn("__grp", group)
+                .repartition(n_parts, "__grp")
+                .withColumn("__rn", F.row_number().over(w))
                 .where(F.col("__rn") == 1)
                 .sortWithinPartitions("__grp", "__bucket", *keys)
                 .drop("__grp", "__is_tgt", "__rn")
             )
         else:
-            out = out.drop("__grp")
             # secondary sort by key: parquet row-group min/max stats on the
             # key columns become tight, so pushed key-equality predicates
             # (point lookups) skip row groups inside each bucket file
-            out = out.sortWithinPartitions("__bucket", *keys)
+            out = (
+                result.withColumn("__grp", group)
+                .repartition(n_parts, "__grp")
+                .drop("__grp")
+                .sortWithinPartitions("__bucket", *keys)
+            )
         (
             out.write.mode("overwrite")
             .options(**self._parquet_write_options(out.columns))
