@@ -372,14 +372,14 @@ class CdcEngine:
             )
         meta_q = events.groupBy("__batch", "source_partition").agg(*meta_aggs)
 
-        meta_rows = meta_q.collect()
+        meta_rows = meta_q.collect()  # bounded-collect: one row per (batch, source partition)
         if any(r["n_schema"] for r in meta_rows):
             # schema-change events exist: fetch them with a column-pruned
             # filter scan (predicate reaches the reader; few rows match)
             schema_rows_all = (
                 events.filter(F.col("op") == "schema_change")
                 .select("__batch", "lsn", "schema_change")
-                .collect()
+                .collect()  # bounded-collect: O(schema-change events), rare by contract
             )
         else:
             schema_rows_all = []
