@@ -1847,19 +1847,19 @@ class LakeTable:
 
         if not partial_update and os.environ.get("SPARK_GRAFT_MERGE_FUSE", "1") != "0":
             # FUSED COW MERGE (whole-row LWW): the full-outer join is
-            # equivalent to one per-key max_by over source ∪ target ordered
-            # by (lsn, is_target) — the source row wins iff its LSN is
-            # STRICTLY greater (is_target breaks the tie toward the target,
-            # exactly the join's ``s_lsn > t_lsn``; a null target LSN
-            # compares below any source LSN, the join's ``t_lsn IS NULL``
-            # arm). Fusing removes the join and one full table-size
-            # exchange: both branches shuffle ONCE, by the write's
-            # bucket-group key, and the aggregation runs on top of that
-            # exchange inside ``_finish_merge`` — its SortAggregate sorts by
-            # (group, bucket, keys), which is precisely the write order, so
-            # the plan is scan ∪ scan → exchange → sort-agg → write.
+            # equivalent to a per-key rank-1 selection over source ∪ target
+            # ordered by (lsn DESC, is_target DESC) — the source row wins
+            # iff its LSN is STRICTLY greater (is_target breaks the tie
+            # toward the target, exactly the join's ``s_lsn > t_lsn``; a
+            # null target LSN sorts below any source LSN, the join's
+            # ``t_lsn IS NULL`` arm). Fusing removes the join and one full
+            # table-size exchange: both branches shuffle ONCE, by the
+            # write's bucket-group key, and the row_number window runs on
+            # top of that exchange inside ``_finish_merge``, whose sort by
+            # (group, bucket, keys, ...) is precisely the write order — the
+            # plan is scan ∪ scan → exchange → window → write.
             # Source deletes become tombstone rows (values nulled) BEFORE
-            # the agg, so a winning delete lands exactly like the join's
+            # the window, so a winning delete lands exactly like the join's
             # is_del branch; a losing one vanishes with its row.
             is_del_src = F.col(op_col) == F.lit("delete")
             s_rows = src.select(
@@ -2022,12 +2022,17 @@ class LakeTable:
 
         ``fuse_lww=True``: ``result`` is the source ∪ target union (with
         ``__is_tgt``) and the per-key LWW resolution itself runs HERE, as a
-        ``max_by`` grouped by ``(__grp, __bucket, keys)`` directly on top of
-        the write repartition — ``__grp`` is a deterministic function of the
-        keys, so hash-partitioning by it alone already co-locates every key
-        (``HashPartitioning(__grp)`` satisfies the aggregation's clustering
-        requirement; Catalyst inserts no second exchange), and the
-        SortAggregate's grouping sort doubles as the write's layout sort."""
+        rank-1 ``row_number`` window over ``(__grp, __bucket, keys)``
+        directly on top of the write repartition — ``__grp`` is a
+        deterministic function of the keys, so hash-partitioning by it
+        alone already co-locates every key (``HashPartitioning(__grp)``
+        satisfies the window's clustering requirement; Catalyst inserts no
+        second exchange), and the window's sort doubles as the write's
+        layout sort.
+
+        ``pre_grouped=True``: the caller already partitioned ``result`` by
+        this exact mapping (and sorted it — the apply loop's clustered
+        reduce window); the write happens in place with no exchange."""
         keys = snap.key_cols
         new_version = snap.version + 1
         out_dir = self._data_dir(new_version)
